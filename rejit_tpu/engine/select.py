@@ -1,0 +1,70 @@
+"""Match selection: (L, I) arrays -> MatchType results.
+
+Implements the docs/SEMANTICS.md selection rules (non-overlapping,
+leftmost-longest, empty-match advance). This is the "lightweight sequential
+pass over the sparse match list" of SURVEY.md §7.2.5 — it walks matches, not
+bytes: each iteration jumps to the next match end. A C++ fast path
+(rejit_tpu/native) replaces the Python loop for match-dense workloads.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+Span = Tuple[int, int]
+
+
+def _next_candidate(L: np.ndarray, pos: int) -> int:
+    """Smallest s >= pos with L[s] >= 0, else -1. O(gap) via argmax on a
+    boolean view (numpy scans in C)."""
+    view = L[pos:] >= 0
+    if not view.any():
+        return -1
+    return pos + int(view.argmax())
+
+
+def match_all(L: np.ndarray, I: np.ndarray) -> List[Tuple[int, int, int]]:
+    """All non-overlapping leftmost-longest matches as (start, end, pid)."""
+    try:
+        from ..native import lib as _native
+    except Exception:  # pragma: no cover - native lib is optional
+        _native = None
+    if _native is not None and _native.available():
+        return _native.select_matches(L, I)
+    return _match_all_py(L, I)
+
+
+def _match_all_py(L: np.ndarray, I: np.ndarray) -> List[Tuple[int, int, int]]:
+    # Walk the sparse candidate list, not the text: O(#matches log #cands).
+    cands = np.flatnonzero(L >= 0)
+    out: List[Tuple[int, int, int]] = []
+    pos = 0
+    while True:
+        idx = int(np.searchsorted(cands, pos))
+        if idx >= len(cands):
+            break
+        s = int(cands[idx])
+        e = int(L[s])
+        out.append((s, e, int(I[s])))
+        pos = e if e > s else s + 1
+    return out
+
+
+def match_first(L: np.ndarray, I: np.ndarray) -> Optional[Tuple[int, int, int]]:
+    s = _next_candidate(L, 0)
+    if s < 0:
+        return None
+    return (s, int(L[s]), int(I[s]))
+
+
+def match_anywhere(L: np.ndarray) -> bool:
+    return bool((L >= 0).any())
+
+
+def match_full(L: np.ndarray) -> bool:
+    return bool(L[0] == len(L) - 1)
+
+
+def match_all_count(L: np.ndarray, I: np.ndarray) -> int:
+    return len(match_all(L, I))

@@ -1,0 +1,126 @@
+"""ctypes loader for the native helper library (librejit_tpu_native.so).
+
+Falls back gracefully (available() -> False) when the library has not been
+built; all callers keep a pure-Python path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SO_NAME = "librejit_tpu_native.so"
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), _SO_NAME)
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.rtn_select_matches.restype = ctypes.c_int64
+        lib.rtn_select_matches.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # L, len n+1
+            ctypes.POINTER(ctypes.c_int64),  # I
+            ctypes.c_int64,                  # n (text length)
+            ctypes.POINTER(ctypes.c_int64),  # out starts
+            ctypes.POINTER(ctypes.c_int64),  # out ends
+            ctypes.POINTER(ctypes.c_int64),  # out pids
+            ctypes.c_int64,                  # out capacity
+        ]
+        lib.rtn_dfa_longest.restype = ctypes.c_int64
+        lib.rtn_dfa_longest.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # text
+            ctypes.c_int64,                   # n
+            ctypes.c_int64,                   # start pos
+            ctypes.POINTER(ctypes.c_uint8),   # class_of[256]
+            ctypes.POINTER(ctypes.c_int32),   # next[Q*C]
+            ctypes.POINTER(ctypes.c_int16),   # accept[Q*C]
+            ctypes.POINTER(ctypes.c_int16),   # accept_eot[Q]
+            ctypes.c_int32,                   # n_classes
+            ctypes.c_int32,                   # start state
+            ctypes.c_int32,                   # dead state
+            ctypes.POINTER(ctypes.c_int32),   # out pattern id
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def select_matches(L: np.ndarray, I: np.ndarray) -> List[Tuple[int, int, int]]:
+    """C++ greedy non-overlap selection (docs/SEMANTICS.md MatchAll)."""
+    lib = _load()
+    assert lib is not None
+    Lc = np.ascontiguousarray(L, dtype=np.int64)
+    Ic = np.ascontiguousarray(I, dtype=np.int64)
+    n = len(Lc) - 1
+    cap = int((Lc >= 0).sum())
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    pids = np.empty(cap, dtype=np.int64)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    cnt = lib.rtn_select_matches(
+        p(Lc, ctypes.c_int64), p(Ic, ctypes.c_int64), n,
+        p(starts, ctypes.c_int64), p(ends, ctypes.c_int64),
+        p(pids, ctypes.c_int64), cap,
+    )
+    return list(zip(starts[:cnt].tolist(), ends[:cnt].tolist(), pids[:cnt].tolist()))
+
+
+def select_matches_arrays(
+    L: np.ndarray, I: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array-returning variant (no per-match Python objects)."""
+    lib = _load()
+    assert lib is not None
+    Lc = np.ascontiguousarray(L, dtype=np.int64)
+    Ic = np.ascontiguousarray(I, dtype=np.int64)
+    n = len(Lc) - 1
+    cap = int((Lc >= 0).sum())
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    pids = np.empty(cap, dtype=np.int64)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    cnt = lib.rtn_select_matches(
+        p(Lc, ctypes.c_int64), p(Ic, ctypes.c_int64), n,
+        p(starts, ctypes.c_int64), p(ends, ctypes.c_int64),
+        p(pids, ctypes.c_int64), cap,
+    )
+    return starts[:cnt], ends[:cnt], pids[:cnt]
+
+
+def dfa_longest(
+    text: np.ndarray, s: int, tables, start_state: int
+) -> Tuple[int, int]:
+    """Scalar anchored longest-match from position s (C++). Returns (end, pid)
+    or (-1, -1). Used for spot verification / fallback."""
+    lib = _load()
+    assert lib is not None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    nxt = np.ascontiguousarray(tables.next, dtype=np.int32)
+    acc = np.ascontiguousarray(tables.accept, dtype=np.int16)
+    eot = np.ascontiguousarray(tables.accept_eot, dtype=np.int16)
+    cls = np.ascontiguousarray(tables.class_of, dtype=np.uint8)
+    pid = ctypes.c_int32(-1)
+    p = lambda a, ty: a.ctypes.data_as(ctypes.POINTER(ty))
+    end = lib.rtn_dfa_longest(
+        p(t, ctypes.c_uint8), len(t), s,
+        p(cls, ctypes.c_uint8), p(nxt, ctypes.c_int32),
+        p(acc, ctypes.c_int16), p(eot, ctypes.c_int16),
+        tables.n_classes, start_state, tables.dead, ctypes.byref(pid),
+    )
+    return int(end), int(pid.value)
