@@ -1,0 +1,286 @@
+"""Public API: compiled patterns + one-shot match functions.
+
+Capability parity with rejit's public surface (reference: rejit:include/rejit.h
+— free functions MatchFull/MatchAnywhere/MatchFirst/MatchAll/MatchAllCount,
+Replace/ReplaceFirst/ReplaceAll, reusable `Regej` class; unverified recall —
+SURVEY.md §2.1/C1). `Pattern` is the Regej equivalent: compile once (AOT table
+build + device placement), match many. One-shot free functions use an LRU
+compile cache (SURVEY.md §5.4).
+
+Matches are half-open byte spans (start, end); see docs/SEMANTICS.md.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .compile import analysis, parser
+from .compile import ir as ir_mod
+from .compile.dfa import compile_patterns
+from .config import Config, DEFAULT
+from .engine import pipeline, select, spans
+from .kernels import literal as literal_kernel
+
+Span = Tuple[int, int]
+TextLike = Union[str, bytes, bytearray, np.ndarray]
+PatternLike = Union[str, bytes]
+
+
+def text_to_u8(text: TextLike) -> np.ndarray:
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    if isinstance(text, (bytes, bytearray)):
+        return np.frombuffer(bytes(text), dtype=np.uint8)
+    arr = np.asarray(text)
+    assert arr.dtype == np.uint8 and arr.ndim == 1
+    return arr
+
+
+def _bucket_blocks(nb: int) -> int:
+    """Smallest 2^k or 3*2^(k-1) >= nb (bounds jit recompiles, <=33% slack)."""
+    if nb <= 1:
+        return 1
+    k = 1
+    while True:
+        if nb <= (3 << (k - 1)):
+            if nb <= (1 << k):
+                return 1 << k
+            return 3 << (k - 1)
+        k += 1
+
+
+class Pattern:
+    """A compiled, reusable pattern (rejit `Regej` equivalent).
+
+    `patterns` may be a single pattern or an ordered list (tokenizer mode,
+    docs/SEMANTICS.md "Multi-pattern"); match results then carry pattern ids
+    through `tokenize`.
+    """
+
+    def __init__(
+        self,
+        patterns: Union[PatternLike, Sequence[PatternLike]],
+        config: Config = DEFAULT,
+    ):
+        if isinstance(patterns, (str, bytes)):
+            patterns = [patterns]
+        self.config = config
+        self.source = tuple(
+            p.encode("utf-8") if isinstance(p, str) else bytes(p)
+            for p in patterns
+        )
+        self.irs = [parser.parse(p) for p in self.source]
+        if config.print_tree:
+            for p, node in zip(self.source, self.irs):
+                print(f"--- {p!r}\n{ir_mod.format_tree(node)}")
+        self.info = analysis.analyze(self.irs)
+        self.engine = self._select_engine()
+        self.tables = None
+        self.ct = None
+        self._oracle = None
+        if self.engine == "dfa":
+            self.tables = compile_patterns(
+                self.irs,
+                max_nfa_states=config.max_nfa_states,
+                max_dfa_states=config.max_dfa_states,
+            )
+            if config.print_tables:
+                from .compile import debug
+
+                print(debug.format_tables(self.tables))
+            self.ct = pipeline.device_tables(self.tables)
+        elif self.engine == "oracle":
+            from .oracle import OraclePattern
+
+            self._oracle = OraclePattern(list(self.source))
+
+    def _select_engine(self) -> str:
+        cfg = self.config
+        if cfg.engine is not None:
+            return cfg.engine
+        if self.info.literals:
+            return "literal"
+        return "dfa"
+
+    # -- internals ----------------------------------------------------------
+
+    def _l_i_device(self, text: np.ndarray):
+        """Compute (L, I) device arrays (length P+1, -1 past n) for `text`."""
+        n = len(text)
+        if self.engine == "literal":
+            max_m = max(len(l) for l in self.info.literals)
+            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+            ext = literal_kernel.extend_pad(text, P, max_m)
+            return literal_kernel.literal_l_arrays_device(
+                jnp.asarray(ext),
+                jnp.int32(n),
+                lits=self.info.literals,
+                pids=self.info.literal_pids,
+                P=P,
+            )
+        block = self.config.block_size
+        P = _bucket_blocks(max(1, -(-n // block))) * block
+        pad = np.zeros(P, dtype=np.uint8)
+        pad[:n] = text
+        return pipeline.l_arrays_device(
+            self.ct, jnp.asarray(pad), jnp.int32(n), block=block
+        )
+
+    def _l_i(self, text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host (L, I) arrays trimmed to n+1 (test/debug aid)."""
+        L, I = self._l_i_device(text)
+        n = len(text)
+        return np.asarray(L)[: n + 1], np.asarray(I)[: n + 1]
+
+    def _candidates(self, text: np.ndarray):
+        """Device-compacted (pos, end, pid) host arrays (spans.py)."""
+        L, I = self._l_i_device(text)
+        return spans.candidates_host(L, I)
+
+    # -- MatchType API ------------------------------------------------------
+
+    def match_full(self, text: TextLike) -> bool:
+        t = text_to_u8(text)
+        if self._oracle:
+            return self._oracle.match_full(t.tobytes())
+        L, _ = self._l_i_device(t)
+        return int(L[0]) == len(t)
+
+    def match_anywhere(self, text: TextLike) -> bool:
+        t = text_to_u8(text)
+        if self._oracle:
+            return self._oracle.match_anywhere(t.tobytes())
+        L, _ = self._l_i_device(t)
+        return int(spans.candidate_count(L)) > 0
+
+    def match_first(self, text: TextLike) -> Optional[Span]:
+        t = text_to_u8(text)
+        if self._oracle:
+            return self._oracle.match_first(t.tobytes())
+        pos, end, _ = self._candidates(t)
+        if len(pos) == 0:
+            return None
+        return (int(pos[0]), int(end[0]))
+
+    def match_all(self, text: TextLike) -> List[Span]:
+        starts, ends, _ = self.match_all_arrays(text)
+        return list(zip(starts.tolist(), ends.tolist()))
+
+    def match_all_arrays(
+        self, text: TextLike
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """MatchAll as (starts, ends, pattern_ids) numpy arrays — the
+        no-Python-objects path for large result sets."""
+        t = text_to_u8(text)
+        if self._oracle:
+            triples = self._oracle.match_all_ids(t.tobytes())
+            arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
+            return arr[:, 0], arr[:, 1], arr[:, 2]
+        pos, end, pid = self._candidates(t)
+        return select.match_all_candidates(pos, end, pid)
+
+    def tokenize(self, text: TextLike) -> List[Tuple[int, int, int]]:
+        """MatchAll with pattern ids: (start, end, pattern_id) triples."""
+        starts, ends, pids = self.match_all_arrays(text)
+        return list(zip(starts.tolist(), ends.tolist(), pids.tolist()))
+
+    def match_all_count(self, text: TextLike) -> int:
+        t = text_to_u8(text)
+        if self._oracle:
+            return self._oracle.match_all_count(t.tobytes())
+        if self.engine == "literal" and self.info.overlap_free:
+            # Pure device-side reduction; no span materialization.
+            n = len(t)
+            max_m = max(len(l) for l in self.info.literals)
+            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+            ext = literal_kernel.extend_pad(t, P, max_m)
+            cnt = literal_kernel.literal_count_device(
+                jnp.asarray(ext), jnp.int32(n), lits=self.info.literals, P=P
+            )
+            return int(cnt)
+        return len(self.match_all_arrays(text)[0])
+
+    # -- Replace API --------------------------------------------------------
+
+    def replace(self, text: TextLike, repl: Union[str, bytes]) -> bytes:
+        """Replace every MatchAll span with `repl` (no group refs — the
+        engine has no captures, docs/SEMANTICS.md)."""
+        t = text_to_u8(text)
+        r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+        data = t.tobytes()
+        out = []
+        pos = 0
+        for s, e in self.match_all(t):
+            out.append(data[pos:s])
+            out.append(r)
+            pos = e
+        out.append(data[pos:])
+        return b"".join(out)
+
+    def replace_first(self, text: TextLike, repl: Union[str, bytes]) -> bytes:
+        t = text_to_u8(text)
+        r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+        data = t.tobytes()
+        m = self.match_first(t)
+        if m is None:
+            return data
+        return data[: m[0]] + r + data[m[1] :]
+
+
+@functools.lru_cache(maxsize=256)
+def _cached(source: Tuple[bytes, ...], config: Config) -> Pattern:
+    return Pattern(list(source), config)
+
+
+def compile(pattern, config: Config = DEFAULT) -> Pattern:  # noqa: A001
+    if isinstance(pattern, (str, bytes)):
+        pattern = [pattern]
+    key = tuple(
+        p.encode("utf-8") if isinstance(p, str) else bytes(p) for p in pattern
+    )
+    return _cached(key, config)
+
+
+# One-shot free functions (rejit:include/rejit.h parity).
+
+
+def match_full(pattern, text, config: Config = DEFAULT) -> bool:
+    return compile(pattern, config).match_full(text)
+
+
+def match_anywhere(pattern, text, config: Config = DEFAULT) -> bool:
+    return compile(pattern, config).match_anywhere(text)
+
+
+def match_first(pattern, text, config: Config = DEFAULT) -> Optional[Span]:
+    return compile(pattern, config).match_first(text)
+
+
+def match_all(pattern, text, config: Config = DEFAULT) -> List[Span]:
+    return compile(pattern, config).match_all(text)
+
+
+def match_all_count(pattern, text, config: Config = DEFAULT) -> int:
+    return compile(pattern, config).match_all_count(text)
+
+
+def replace(pattern, text, repl, config: Config = DEFAULT) -> bytes:
+    return compile(pattern, config).replace(text, repl)
+
+
+def replace_first(pattern, text, repl, config: Config = DEFAULT) -> bytes:
+    return compile(pattern, config).replace_first(text, repl)
+
+
+# CamelCase aliases matching the reference naming.
+MatchFull = match_full
+MatchAnywhere = match_anywhere
+MatchFirst = match_first
+MatchAll = match_all
+MatchAllCount = match_all_count
+Replace = replace
+ReplaceFirst = replace_first
+Regej = Pattern

@@ -1,0 +1,225 @@
+"""Pattern analysis for engine selection and fast-forward planning.
+
+Capability parity: rejit's indexer computes the "fast-forward element set"
+(sub-regexps that can begin a match, driving the SSE prefilter; reference:
+rejit:src/regexp_indexer.cc FF-finder visitor, unverified recall — SURVEY.md
+§2.1/C4). Our analogs: `first_bytes` feeds the Pallas byte-lane prefilter,
+`literal_value`/`alt_literals` dispatch to the specialized literal engine,
+length bounds drive shard-boundary halo widths (SURVEY.md §2.3), and overlap
+analysis proves when greedy selection degenerates to "all hits" on device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from . import ir
+
+
+def nullable(re: ir.Re) -> bool:
+    """Can the pattern match the empty string? (Assertions count as empty;
+    this is exact for assertion-free patterns and conservative otherwise.)"""
+    if isinstance(re, (ir.Empty, ir.Assert)):
+        return True
+    if isinstance(re, (ir.Lit, ir.CharClass)):
+        return False
+    if isinstance(re, ir.Cat):
+        return all(nullable(p) for p in re.parts)
+    if isinstance(re, ir.Alt):
+        return any(nullable(o) for o in re.options)
+    if isinstance(re, ir.Rep):
+        return re.lo == 0 or nullable(re.child)
+    raise TypeError(type(re))
+
+
+def min_len(re: ir.Re) -> int:
+    if isinstance(re, (ir.Empty, ir.Assert)):
+        return 0
+    if isinstance(re, ir.Lit):
+        return len(re.data)
+    if isinstance(re, ir.CharClass):
+        return 1
+    if isinstance(re, ir.Cat):
+        return sum(min_len(p) for p in re.parts)
+    if isinstance(re, ir.Alt):
+        return min(min_len(o) for o in re.options)
+    if isinstance(re, ir.Rep):
+        return re.lo * min_len(re.child)
+    raise TypeError(type(re))
+
+
+def max_len(re: ir.Re) -> Optional[int]:
+    """Largest possible match length; None = unbounded."""
+    if isinstance(re, (ir.Empty, ir.Assert)):
+        return 0
+    if isinstance(re, ir.Lit):
+        return len(re.data)
+    if isinstance(re, ir.CharClass):
+        return 1
+    if isinstance(re, ir.Cat):
+        total = 0
+        for p in re.parts:
+            m = max_len(p)
+            if m is None:
+                return None
+            total += m
+        return total
+    if isinstance(re, ir.Alt):
+        best = 0
+        for o in re.options:
+            m = max_len(o)
+            if m is None:
+                return None
+            best = max(best, m)
+        return best
+    if isinstance(re, ir.Rep):
+        if re.hi is None:
+            return None if max_len(re.child) != 0 else 0
+        m = max_len(re.child)
+        return None if m is None else re.hi * m
+    raise TypeError(type(re))
+
+
+def has_asserts(re: ir.Re) -> bool:
+    if isinstance(re, ir.Assert):
+        return True
+    if isinstance(re, ir.Cat):
+        return any(has_asserts(p) for p in re.parts)
+    if isinstance(re, ir.Alt):
+        return any(has_asserts(o) for o in re.options)
+    if isinstance(re, ir.Rep):
+        return has_asserts(re.child)
+    return False
+
+
+def literal_value(re: ir.Re) -> Optional[bytes]:
+    """The exact literal this pattern matches, or None."""
+    if isinstance(re, ir.Lit):
+        return re.data
+    if isinstance(re, ir.Cat):
+        out = b""
+        for p in re.parts:
+            v = literal_value(p)
+            if v is None:
+                return None
+            out += v
+        return out
+    if isinstance(re, ir.Rep) and re.lo == re.hi:
+        v = literal_value(re.child)
+        return None if v is None else v * re.lo
+    return None
+
+
+def alt_literals(re: ir.Re) -> Optional[List[bytes]]:
+    """Pattern == alternation of plain literals? Returns them in order."""
+    v = literal_value(re)
+    if v is not None:
+        return [v]
+    if isinstance(re, ir.Alt):
+        out = []
+        for o in re.options:
+            v = literal_value(o)
+            if v is None:
+                return None
+            out.append(v)
+        return out
+    return None
+
+
+def first_bytes(re: ir.Re) -> Tuple[int, bool]:
+    """(bitmap of possible first bytes of a non-empty match, nullable).
+
+    The bitmap over-approximates nothing for the supported IR: a non-empty
+    match must start with one of these bytes. `nullable` mirrors nullable()
+    (assertion-satisfiability not evaluated, conservative)."""
+    if isinstance(re, (ir.Empty, ir.Assert)):
+        return 0, True
+    if isinstance(re, ir.Lit):
+        return ir.bit(re.data[0]), False
+    if isinstance(re, ir.CharClass):
+        return re.bitmap, False
+    if isinstance(re, ir.Cat):
+        bm = 0
+        for p in re.parts:
+            b, nul = first_bytes(p)
+            bm |= b
+            if not nul:
+                return bm, False
+        return bm, True
+    if isinstance(re, ir.Alt):
+        bm, nul = 0, False
+        for o in re.options:
+            b, on = first_bytes(o)
+            bm |= b
+            nul = nul or on
+        return bm, nul
+    if isinstance(re, ir.Rep):
+        b, nul = first_bytes(re.child)
+        return b, nul or re.lo == 0
+    raise TypeError(type(re))
+
+
+def _has_border(lit: bytes) -> bool:
+    """Does lit have a non-empty proper border (prefix == suffix)?"""
+    return any(lit[:k] == lit[-k:] for k in range(1, len(lit)))
+
+
+def literals_overlap_free(lits: List[bytes]) -> bool:
+    """True iff no occurrence of any literal can overlap an occurrence of any
+    (possibly the same) literal. Then greedy non-overlap selection == all
+    hits, so MatchAllCount is a pure device-side reduction."""
+    for a in lits:
+        if _has_border(a):
+            return False
+    for i, a in enumerate(lits):
+        for j, b in enumerate(lits):
+            if i != j and (a.startswith(b) or b.startswith(a)):
+                return False  # same-position hits of different lengths
+            for d in range(1, len(a)):
+                k = min(len(a) - d, len(b))
+                if a[d : d + k] == b[:k]:
+                    return False
+    return True
+
+
+@dataclass(frozen=True)
+class PatternInfo:
+    """Aggregated analysis for one pattern list (RegexpInfo analog,
+    reference: rejit:src/regexp.h RegexpInfo — SURVEY.md §2.1/C3)."""
+
+    nullable: bool
+    min_len: int
+    max_len: Optional[int]       # None = unbounded
+    has_asserts: bool
+    first_bytes: int             # bitmap; 0 when nullable start
+    literals: Optional[Tuple[bytes, ...]]  # patterns are (alts of) literals
+    literal_pids: Optional[Tuple[int, ...]]  # pattern id of each literal
+    overlap_free: bool           # literals provably never overlap
+
+
+def analyze(irs) -> PatternInfo:
+    nul = any(nullable(r) for r in irs)
+    fb = 0
+    for r in irs:
+        b, _ = first_bytes(r)
+        fb |= b
+    lits: Optional[List[bytes]] = []
+    pids: List[int] = []
+    for pid, r in enumerate(irs):
+        vs = alt_literals(r)
+        if vs is None:
+            lits = None
+            break
+        lits.extend(vs)
+        pids.extend([pid] * len(vs))
+    maxes = [max_len(r) for r in irs]
+    return PatternInfo(
+        nullable=nul,
+        min_len=min(min_len(r) for r in irs),
+        max_len=None if any(m is None for m in maxes) else max(maxes),
+        has_asserts=any(has_asserts(r) for r in irs),
+        first_bytes=fb,
+        literals=None if lits is None else tuple(lits),
+        literal_pids=None if lits is None else tuple(pids),
+        overlap_free=bool(lits) and literals_overlap_free(lits),
+    )

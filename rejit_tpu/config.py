@@ -1,0 +1,75 @@
+"""Framework configuration (flags-system analog).
+
+Capability parity with rejit's macro flag system (reference: rejit:src/flags.h
+FLAG_* incl. fast-forward toggles and debug printing, unverified recall —
+SURVEY.md §2.1/C8), redesigned as a single immutable dataclass with env-var
+overrides and no global mutable state (SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ("0", "false", "no", "")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return default if v is None else int(v)
+
+
+@dataclass(frozen=True)
+class Config:
+    # Engine selection: None = auto (analysis-driven); or one of
+    # 'literal', 'dfa', 'oracle'.
+    engine: Optional[str] = None
+
+    # Text block size for the blocked DFA scan (bytes per block).
+    block_size: int = 256
+
+    # Fast-forward prefilter (rejit use_fast_forward / force_ff analogs).
+    use_ff: bool = True
+    force_ff: bool = False
+
+    # Compiler limits.
+    max_nfa_states: int = 20000
+    max_dfa_states: int = 4096
+
+    # Use the native C++ helpers when built ('auto'|'native'|'python').
+    selection: str = "auto"
+
+    # Run Pallas kernels in interpreter mode (debugging).
+    interpret: bool = False
+
+    # Debug prints: compile-time IR/NFA/DFA dumps (SURVEY.md §5.1).
+    print_tree: bool = False
+    print_tables: bool = False
+
+    # Mesh axis name for data-parallel corpus sharding.
+    mesh_axis: str = "data"
+
+    @staticmethod
+    def from_env(**overrides) -> "Config":
+        base = Config(
+            engine=os.environ.get("REJIT_TPU_ENGINE") or None,
+            block_size=_env_int("REJIT_TPU_BLOCK_SIZE", 256),
+            use_ff=_env_bool("REJIT_TPU_USE_FF", True),
+            force_ff=_env_bool("REJIT_TPU_FORCE_FF", False),
+            max_nfa_states=_env_int("REJIT_TPU_MAX_NFA_STATES", 20000),
+            max_dfa_states=_env_int("REJIT_TPU_MAX_DFA_STATES", 4096),
+            selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
+            interpret=_env_bool("REJIT_TPU_INTERPRET", False),
+            print_tree=_env_bool("REJIT_TPU_PRINT_TREE", False),
+            print_tables=_env_bool("REJIT_TPU_PRINT_TABLES", False),
+        )
+        return dataclasses.replace(base, **overrides)
+
+
+DEFAULT = Config()

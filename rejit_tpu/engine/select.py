@@ -51,6 +51,42 @@ def _match_all_py(L: np.ndarray, I: np.ndarray) -> List[Tuple[int, int, int]]:
     return out
 
 
+def match_all_candidates(
+    pos: np.ndarray, end: np.ndarray, pid: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy non-overlap selection over compacted candidates (pos sorted
+    ascending). Returns (starts, ends, pids) arrays."""
+    try:
+        from ..native import lib as _native
+    except Exception:  # pragma: no cover
+        _native = None
+    if (
+        _native is not None
+        and hasattr(_native, "select_candidates")
+        and _native.available()
+    ):
+        return _native.select_candidates(pos, end, pid)
+    starts: List[int] = []
+    ends: List[int] = []
+    pids: List[int] = []
+    cur = 0
+    k = len(pos)
+    i = 0
+    while i < k:
+        s = int(pos[i])
+        e = int(end[i])
+        starts.append(s)
+        ends.append(e)
+        pids.append(int(pid[i]))
+        cur = e if e > s else s + 1
+        i = int(np.searchsorted(pos, cur))
+    return (
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(ends, dtype=np.int64),
+        np.asarray(pids, dtype=np.int64),
+    )
+
+
 def match_first(L: np.ndarray, I: np.ndarray) -> Optional[Tuple[int, int, int]]:
     s = _next_candidate(L, 0)
     if s < 0:

@@ -1,0 +1,81 @@
+"""Literal-pattern engine: vectorized shifted-compare matching.
+
+TPU-native equivalent of rejit's FastForwardGen SSE literal scan (reference:
+rejit:src/x64/codegen-x64.cc FastForwardGen, unverified recall — SURVEY.md
+§2.1/C6): instead of 16-byte pcmpeqb loops, the whole text is compared
+against each literal byte at a static shift and AND-reduced — XLA fuses this
+into one streaming pass per literal at VPU width. A Pallas fused variant
+lives in rejit_tpu/kernels/literal_pallas.py.
+
+The caller pads `text` with `max_len(lits)` trailing bytes (any value) so
+shifted slices stay in bounds; `n` is the true length.
+
+Fast path: when compile analysis proves the literal set overlap-free
+(rejit_tpu/compile/analysis.py), MatchAllCount == total hit count, a pure
+on-device reduction with no span materialization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _hit_mask(text_ext: jnp.ndarray, P: int, lit: bytes) -> jnp.ndarray:
+    """(P,) bool: lit occurs at position i (ignoring text-length validity)."""
+    eq = text_ext[0:P] == lit[0]
+    for j in range(1, len(lit)):
+        eq = jnp.logical_and(eq, text_ext[j : j + P] == lit[j])
+    return eq
+
+
+@functools.partial(jax.jit, static_argnames=("lits", "P"))
+def literal_count_device(
+    text_ext: jnp.ndarray, n: jnp.ndarray, *, lits: Tuple[bytes, ...], P: int
+) -> jnp.ndarray:
+    """Total hit count (== MatchAllCount for overlap-free literal sets)."""
+    pos = jnp.arange(P, dtype=jnp.int32)
+    total = jnp.int32(0)
+    for lit in lits:
+        hits = _hit_mask(text_ext, P, lit) & (pos <= n - len(lit))
+        total = total + jnp.sum(hits, dtype=jnp.int32)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("lits", "pids", "P"))
+def literal_l_arrays_device(
+    text_ext: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    lits: Tuple[bytes, ...],
+    pids: Tuple[int, ...],
+    P: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, I) arrays (length P+1) for a literal-alternation pattern set.
+
+    Leftmost-longest with lowest-pattern-id tie-break: literals are visited
+    longest-first (ties by pattern id), first writer wins per position.
+    """
+    pos = jnp.arange(P, dtype=jnp.int32)
+    L = jnp.full(P, -1, dtype=jnp.int32)
+    I = jnp.full(P, -1, dtype=jnp.int32)
+    order = sorted(range(len(lits)), key=lambda i: (-len(lits[i]), pids[i], i))
+    for idx in order:
+        lit = lits[idx]
+        hits = _hit_mask(text_ext, P, lit) & (pos <= n - len(lit))
+        claim = hits & (L < 0)
+        L = jnp.where(claim, pos + len(lit), L)
+        I = jnp.where(claim, pids[idx], I)
+    L = jnp.concatenate([L, jnp.full(1, -1, jnp.int32)])
+    I = jnp.concatenate([I, jnp.full(1, -1, jnp.int32)])
+    return L, I
+
+
+def extend_pad(text: np.ndarray, P: int, extra: int) -> np.ndarray:
+    """Pad a uint8 text to length P + extra with zero bytes."""
+    out = np.zeros(P + extra, dtype=np.uint8)
+    out[: len(text)] = text
+    return out

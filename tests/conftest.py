@@ -9,9 +9,16 @@ Must run before the first `import jax` anywhere in the test process.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset "axon" (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The machine's sitecustomize prepends the 'axon' (TPU) PJRT plugin to
+# jax_platforms regardless of the env var; override after import, before any
+# backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

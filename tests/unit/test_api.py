@@ -1,0 +1,115 @@
+"""End-to-end API tests: every engine path vs the oracle."""
+import numpy as np
+import pytest
+
+import rejit_tpu
+from rejit_tpu import Config, Pattern, oracle
+
+TEXTS = [
+    b"",
+    b"foo",
+    b"xfooy foo barbaz bar\nbaz foofoo",
+    b"the quick brown fox jumps over the lazy dog",
+    b"aaaabaaa",
+    b"singing and winging, kingly things\nsing ping\n",
+    b"1 22 333 4444",
+]
+
+CASES = [
+    ("foo", None),
+    ("foo|bar|baz", None),
+    ("[a-z]+", None),
+    (r"\w+ing\b", None),
+    (r"\d+", None),
+    ("aa", None),  # bordered literal: overlap selection matters
+    ("a|ab", None),
+]
+
+
+@pytest.mark.parametrize("pat,_", CASES, ids=[c[0] for c in CASES])
+def test_pattern_vs_oracle(pat, _):
+    p = Pattern(pat)
+    orc = oracle.OraclePattern(pat)
+    for text in TEXTS:
+        assert p.match_all(text) == orc.match_all(text), (pat, text)
+        assert p.match_first(text) == orc.match_first(text)
+        assert p.match_anywhere(text) == orc.match_anywhere(text)
+        assert p.match_full(text) == orc.match_full(text)
+        assert p.match_all_count(text) == orc.match_all_count(text)
+
+
+def test_engine_selection():
+    assert Pattern("foo").engine == "literal"
+    assert Pattern("foo|bar").engine == "literal"
+    assert Pattern("[a-z]+").engine == "dfa"
+    assert Pattern("foo", Config(engine="dfa")).engine == "dfa"
+    assert Pattern("foo", Config(engine="oracle")).engine == "oracle"
+
+
+def test_literal_and_dfa_engines_agree():
+    texts = TEXTS + [b"aaaa", b"foofoofoo", b"fofoofo"]
+    for pat in ["foo", "aa", "foo|bar|baz", "a|ab"]:
+        pl = Pattern(pat)
+        pd = Pattern(pat, Config(engine="dfa"))
+        assert pl.engine == "literal" and pd.engine == "dfa"
+        for text in texts:
+            assert pl.match_all(text) == pd.match_all(text), (pat, text)
+            assert pl.match_all_count(text) == pd.match_all_count(text)
+
+
+def test_overlap_free_count_fast_path():
+    p = Pattern("foo|bar|baz")
+    assert p.info.overlap_free
+    text = b"foo bar baz foofoo barbar bazbaz xfoox"
+    assert p.match_all_count(text) == 10
+    assert p.match_all_count(text) == oracle.match_all_count(
+        rb"foo|bar|baz", text
+    )
+    p2 = Pattern("aa")  # bordered -> no fast path
+    assert not p2.info.overlap_free
+    assert p2.match_all_count(b"aaaaa") == 2
+
+
+def test_bordered_literal_nonoverlap_selection():
+    assert rejit_tpu.match_all("aa", b"aaaa") == [(0, 2), (2, 4)]
+    assert rejit_tpu.match_all("aba", b"ababa") == [(0, 3)]
+
+
+def test_replace():
+    assert rejit_tpu.replace("foo", b"a foo b foo", b"X") == b"a X b X"
+    assert rejit_tpu.replace_first("o+", b"foo boo", b"0") == b"f0 boo"
+    assert rejit_tpu.replace(r"\s+", "a  b\tc", " ") == b"a b c"
+    assert rejit_tpu.replace("x", b"no hits", b"!") == b"no hits"
+
+
+def test_tokenizer_mode():
+    p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"])
+    orc = oracle.OraclePattern([rb"\w+", rb"\s+", rb"[^\w\s]+"])
+    for text in [b"hi, there! 2 go\nnow", b"", b"   ", b"a,b.c"]:
+        assert p.tokenize(text) == orc.match_all_ids(text)
+
+
+def test_str_and_array_inputs():
+    p = Pattern("na")
+    assert p.match_all("banana") == [(2, 4), (4, 6)]
+    arr = np.frombuffer(b"banana", dtype=np.uint8)
+    assert p.match_all(arr) == [(2, 4), (4, 6)]
+
+
+def test_one_shot_cache_reuses_pattern():
+    a = rejit_tpu.compile("cached[0-9]")
+    b = rejit_tpu.compile("cached[0-9]")
+    assert a is b
+
+
+def test_empty_pattern_and_empty_text():
+    assert rejit_tpu.match_all("a*", b"") == [(0, 0)]
+    assert rejit_tpu.match_full("a*", b"")
+    assert rejit_tpu.match_first("a", b"") is None
+    assert rejit_tpu.match_all_count("", b"ab") == 3
+
+
+def test_camelcase_aliases():
+    assert rejit_tpu.MatchFull("a+", b"aaa")
+    assert rejit_tpu.MatchAllCount("a", b"aaa") == 3
+    assert rejit_tpu.Regej is rejit_tpu.Pattern
