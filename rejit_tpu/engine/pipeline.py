@@ -17,6 +17,9 @@ rejit_tpu/engine/reference.py for the algebra and its numpy validation):
 Everything is static-shaped: texts are padded to a block multiple and the
 true length `n` is a device scalar; steps past `n` are identity, which makes
 padding semantically invisible (EOT acceptance is injected by the scan seed).
+
+The same phases power the sharded multi-device path
+(rejit_tpu/dist/sharded.py): phase 2 simply extends across shards.
 """
 from __future__ import annotations
 
@@ -72,8 +75,11 @@ def device_tables(t: DFATables) -> DeviceTables:
     )
 
 
-def _combine(a, b):
-    """Compose summaries: `a` covers earlier text, `b` the suffix after it."""
+def combine(a, b):
+    """Compose summaries: `a` covers earlier text, `b` the suffix after it.
+
+    Each summary is (f, m, i) with state-indexed last axis (reference.py
+    documents the algebra and its associativity)."""
     fa, ma, ia = a
     fb, mb, ib = b
     f = jnp.take_along_axis(fb, fa, axis=-1)
@@ -81,6 +87,94 @@ def _combine(a, b):
     ig = jnp.take_along_axis(ib, fa, axis=-1)
     later = mg >= 0
     return f, jnp.where(later, mg, ma), jnp.where(later, ig, ia)
+
+
+def _masked_step(ct: DeviceTables, carry, c, pos, n):
+    """One backward byte-step of the (f, m, i) summary; identity past n."""
+    f, m, i = carry
+    valid = (pos < n)[:, None]
+    step_f = jnp.take(ct.nextT, c, axis=0)          # (nb, Q)
+    acc = jnp.take(ct.acceptT, c, axis=0)           # (nb, Q)
+    f_new = jnp.take_along_axis(f, step_f, axis=1)
+    m_g = jnp.take_along_axis(m, step_f, axis=1)
+    i_g = jnp.take_along_axis(i, step_f, axis=1)
+    later = m_g >= 0
+    m_new = jnp.where(later, m_g, jnp.where(acc >= 0, pos[:, None], -1))
+    i_new = jnp.where(later, i_g, acc)
+    f = jnp.where(valid, f_new, f)
+    m = jnp.where(valid, m_new, m)
+    i = jnp.where(valid, i_new, i)
+    return f, m, i
+
+
+def phase1_summaries(ct: DeviceTables, clsb, posb, n):
+    """Per-block (f, m, i) summaries. clsb/posb are (K, nb) byte-reversed
+    column-major views (row k = byte K-1-k of each block)."""
+    nb = clsb.shape[1]
+    Q = ct.n_states
+    ident = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (nb, Q))
+    neg = jnp.full((nb, Q), -1, dtype=jnp.int32)
+
+    def bstep(carry, xs):
+        c, pos = xs
+        return _masked_step(ct, carry, c, pos, n), None
+
+    (f, m, i), _ = jax.lax.scan(bstep, (ident, neg, neg), (clsb, posb))
+    return f, m, i
+
+
+def suffix_scan(summaries, tail):
+    """Exclusive suffix composition across the block axis (axis 0).
+
+    `tail` is the summary of everything after the last block (EOT seed, or a
+    cross-shard suffix). Returns per-block exclusive suffixes."""
+    fs = jnp.concatenate([summaries[0], tail[0][None]], axis=0)
+    ms = jnp.concatenate([summaries[1], tail[1][None]], axis=0)
+    is_ = jnp.concatenate([summaries[2], tail[2][None]], axis=0)
+    # With reverse=True, associative_scan feeds the combiner
+    # (aggregate-of-later-text, earlier-element) — verified empirically —
+    # so swap into combine's (earlier, later) convention.
+    fS, mS, iS = jax.lax.associative_scan(
+        lambda a, b: combine(b, a), (fs, ms, is_), reverse=True, axis=0
+    )
+    return fS[1:], mS[1:], iS[1:]
+
+
+def phase3_emit(ct: DeviceTables, suf, clsb, posb, startsb, n):
+    """Seeded backward re-run emitting (L, I) per boundary.
+
+    Returns (L, I) of shape (nb*K,), boundary-ordered."""
+    def estep(carry, xs):
+        c, pos, st = xs
+        f, m, i = _masked_step(ct, carry, c, pos, n)
+        st2 = st[:, None]
+        L_k = jnp.take_along_axis(m, st2, axis=1)[:, 0]
+        I_k = jnp.take_along_axis(i, st2, axis=1)[:, 0]
+        return (f, m, i), (L_k, I_k)
+
+    _, (Lr, Ir) = jax.lax.scan(estep, suf, (clsb, posb, startsb))
+    P = Lr.size
+    L = Lr[::-1].T.reshape(P)
+    I = Ir[::-1].T.reshape(P)
+    return L, I
+
+
+def eot_seed(ct: DeviceTables, n):
+    Q = ct.n_states
+    f = jnp.arange(Q, dtype=jnp.int32)
+    m = jnp.where(ct.accept_eot >= 0, n, -1).astype(jnp.int32)
+    return f, m, ct.accept_eot
+
+
+def classify(ct: DeviceTables, text):
+    """(cls, ctx) int32 arrays for a uint8 text."""
+    ti = text.astype(jnp.int32)
+    return ct.class_of[ti], ct.ctx_of[ti]
+
+
+def block_views(arr, nb: int, K: int):
+    """(P,) -> (K, nb) byte-reversed column-major view for the scans."""
+    return arr.reshape(nb, K).T[::-1]
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -96,86 +190,24 @@ def l_arrays_device(
     K = block
     assert P % K == 0 and P > 0
     nb = P // K
-    Q = ct.n_states
 
-    cls = ct.class_of[text.astype(jnp.int32)]          # (P,)
-    ctx = ct.ctx_of[text.astype(jnp.int32)]            # (P,)
+    cls, ctx = classify(ct, text)
     # Start state for a thread beginning at boundary s (0..P-1):
     # s=0 -> CTX_BEGIN state; else by context of byte s-1.
     starts = jnp.concatenate(
         [ct.start_by_ctx[:1], ct.start_by_ctx[ctx[:-1]]]
-    )                                                   # (P,)
+    )
     start_eot = ct.start_by_ctx[ctx[-1]]                # boundary P
 
-    clsb = cls.reshape(nb, K).T                         # (K, nb)
-    posb = jnp.arange(P, dtype=jnp.int32).reshape(nb, K).T
-    startsb = starts.reshape(nb, K).T
+    pos = jnp.arange(P, dtype=jnp.int32)
+    clsb = block_views(cls, nb, K)
+    posb = block_views(pos, nb, K)
+    startsb = block_views(starts, nb, K)
 
-    ident = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (nb, Q))
-    neg = jnp.full((nb, Q), -1, dtype=jnp.int32)
-
-    def bstep(carry, xs):
-        f, m, i = carry
-        c, pos = xs
-        valid = (pos < n)[:, None]
-        step_f = jnp.take(ct.nextT, c, axis=0)          # (nb, Q)
-        acc = jnp.take(ct.acceptT, c, axis=0)           # (nb, Q)
-        f_new = jnp.take_along_axis(f, step_f, axis=1)
-        m_g = jnp.take_along_axis(m, step_f, axis=1)
-        i_g = jnp.take_along_axis(i, step_f, axis=1)
-        later = m_g >= 0
-        m_new = jnp.where(later, m_g, jnp.where(acc >= 0, pos[:, None], -1))
-        i_new = jnp.where(later, i_g, acc)
-        f = jnp.where(valid, f_new, f)
-        m = jnp.where(valid, m_new, m)
-        i = jnp.where(valid, i_new, i)
-        return (f, m, i), None
-
-    # Phase 1: per-block summaries (right-to-left within each block).
-    xs = (clsb[::-1], posb[::-1])
-    (f1, m1, i1), _ = jax.lax.scan(bstep, (ident, neg, neg), xs)
-
-    # Phase 2: exclusive suffix across blocks. Append the EOT seed, scan
-    # inclusively from the right, then shift: suffix_excl[b] = incl[b + 1].
-    eot_f = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (1, Q))
-    eot_m = jnp.where(ct.accept_eot >= 0, n, -1)[None, :].astype(jnp.int32)
-    eot_i = ct.accept_eot[None, :]
-    fs = jnp.concatenate([f1, eot_f], axis=0)           # (nb+1, Q)
-    ms = jnp.concatenate([m1, eot_m], axis=0)
-    is_ = jnp.concatenate([i1, eot_i], axis=0)
-    # With reverse=True, associative_scan feeds the combiner
-    # (aggregate-of-later-text, earlier-element) — verified empirically —
-    # so swap into _combine's (earlier, later) convention.
-    fS, mS, iS = jax.lax.associative_scan(
-        lambda a, b: _combine(b, a), (fs, ms, is_), reverse=True, axis=0
-    )
-    suf = (fS[1:], mS[1:], iS[1:])                      # exclusive, (nb, Q)
-
-    # Phase 3: re-run blocks seeded with their suffix summary, emitting L/I.
-    def estep(carry, xs):
-        f, m, i = carry
-        c, pos, st = xs
-        valid = (pos < n)[:, None]
-        step_f = jnp.take(ct.nextT, c, axis=0)
-        acc = jnp.take(ct.acceptT, c, axis=0)
-        f_new = jnp.take_along_axis(f, step_f, axis=1)
-        m_g = jnp.take_along_axis(m, step_f, axis=1)
-        i_g = jnp.take_along_axis(i, step_f, axis=1)
-        later = m_g >= 0
-        m_new = jnp.where(later, m_g, jnp.where(acc >= 0, pos[:, None], -1))
-        i_new = jnp.where(later, i_g, acc)
-        f = jnp.where(valid, f_new, f)
-        m = jnp.where(valid, m_new, m)
-        i = jnp.where(valid, i_new, i)
-        st2 = st[:, None]
-        L_k = jnp.take_along_axis(m, st2, axis=1)[:, 0]
-        I_k = jnp.take_along_axis(i, st2, axis=1)[:, 0]
-        return (f, m, i), (L_k, I_k)
-
-    xs3 = (clsb[::-1], posb[::-1], startsb[::-1])
-    _, (Lr, Ir) = jax.lax.scan(estep, suf, xs3)
-    L = Lr[::-1].T.reshape(P)                           # boundaries 0..P-1
-    I = Ir[::-1].T.reshape(P)
+    summaries = phase1_summaries(ct, clsb, posb, n)
+    suf = suffix_scan(summaries, eot_seed(ct, n))
+    suf0 = (suf[0], suf[1], suf[2])
+    L, I = phase3_emit(ct, suf0, clsb, posb, startsb, n)
 
     # Boundary P from the bare EOT seed; boundaries > n masked to -1.
     L_P = jnp.where(ct.accept_eot[start_eot] >= 0, n, -1).astype(jnp.int32)
