@@ -37,6 +37,27 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),  # out pids
             ctypes.c_int64,                  # out capacity
         ]
+        lib.rtn_select_candidates.restype = ctypes.c_int64
+        lib.rtn_select_candidates.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # pos
+            ctypes.POINTER(ctypes.c_int32),  # end
+            ctypes.POINTER(ctypes.c_int32),  # pid
+            ctypes.c_int64,                  # k
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.rtn_line_of_offsets.restype = None
+        lib.rtn_line_of_offsets.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.rtn_dfa_longest.restype = ctypes.c_int64
         lib.rtn_dfa_longest.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),   # text
@@ -101,6 +122,50 @@ def select_matches_arrays(
         p(pids, ctypes.c_int64), cap,
     )
     return starts[:cnt], ends[:cnt], pids[:cnt]
+
+
+def select_candidates(
+    pos: np.ndarray, end: np.ndarray, pid: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C++ greedy non-overlap selection over compacted candidates."""
+    lib = _load()
+    assert lib is not None
+    posc = np.ascontiguousarray(pos, dtype=np.int32)
+    endc = np.ascontiguousarray(end, dtype=np.int32)
+    pidc = np.ascontiguousarray(pid, dtype=np.int32)
+    k = len(posc)
+    starts = np.empty(k, dtype=np.int64)
+    ends = np.empty(k, dtype=np.int64)
+    pids = np.empty(k, dtype=np.int64)
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    cnt = lib.rtn_select_candidates(
+        p(posc, ctypes.c_int32), p(endc, ctypes.c_int32),
+        p(pidc, ctypes.c_int32), k,
+        p(starts, ctypes.c_int64), p(ends, ctypes.c_int64),
+        p(pids, ctypes.c_int64), k,
+    )
+    return starts[:cnt], ends[:cnt], pids[:cnt]
+
+
+def line_of_offsets(
+    text: np.ndarray, offsets: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(line_no, line_start, line_end) for each offset (offsets sorted)."""
+    lib = _load()
+    assert lib is not None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    k = len(off)
+    line_no = np.empty(k, dtype=np.int64)
+    line_start = np.empty(k, dtype=np.int64)
+    line_end = np.empty(k, dtype=np.int64)
+    p = lambda a, ty: a.ctypes.data_as(ctypes.POINTER(ty))
+    lib.rtn_line_of_offsets(
+        p(t, ctypes.c_uint8), len(t), p(off, ctypes.c_int64), k,
+        p(line_no, ctypes.c_int64), p(line_start, ctypes.c_int64),
+        p(line_end, ctypes.c_int64),
+    )
+    return line_no, line_start, line_end
 
 
 def dfa_longest(

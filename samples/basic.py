@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""API demo (parity with rejit:sample/basic.cc, SURVEY.md §2.1/C12)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import rejit_tpu
+from rejit_tpu import Pattern
+
+text = "the quick brown fox jumps over the lazy dog"
+
+# One-shot free functions.
+print(rejit_tpu.match_anywhere("qu.ck", text))        # True
+print(rejit_tpu.match_first(r"\b\w{5}\b", text))      # (4, 9)
+print(rejit_tpu.match_all("o", text))                 # every 'o'
+print(rejit_tpu.match_all_count(r"\w+", text))        # 9 words
+print(rejit_tpu.replace("lazy", text, "energetic"))
+
+# Reusable compiled pattern (Regej equivalent).
+p = Pattern(r"[a-z]+")
+for s, e in p.match_all(text)[:3]:
+    print(text[s:e])
+
+# Tokenizer mode: ordered pattern list, ids in results.
+tok = Pattern([r"\w+", r"\s+", r"[^\w\s]+"])
+print(tok.tokenize("hi, there!")[:5])

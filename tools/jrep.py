@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""jrep: grep clone on the rejit_tpu engine.
+
+Capability parity with rejit's sample/jrep.cc (file-tree walk + one compiled
+pattern reused across files + MatchAll + matching-line printing; reference:
+rejit:sample/jrep.cc, unverified recall — SURVEY.md §2.1/C12, §3.4).
+
+Usage:
+  python tools/jrep.py [options] PATTERN FILE...
+  -r            recurse into directories
+  -c            print only a count of matching lines per file
+  -l            print only names of files with matches
+  -n            prefix matching lines with line numbers
+  -q            quiet: exit 0 if any match found
+  --count-matches  print total number of matches per file (MatchAllCount)
+  --engine=E    force engine (literal|dfa|oracle)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Iterator
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def iter_files(paths, recurse: bool) -> Iterator[str]:
+    for p in paths:
+        if os.path.isdir(p):
+            if recurse:
+                for root, _dirs, files in os.walk(p):
+                    for f in sorted(files):
+                        yield os.path.join(root, f)
+            else:
+                print(f"jrep: {p}: is a directory", file=sys.stderr)
+        else:
+            yield p
+
+
+def line_info(text: np.ndarray, offsets: np.ndarray):
+    """(line_no, line_start, line_end) per offset; native lib or numpy."""
+    from rejit_tpu.native import lib as native
+
+    if native.available():
+        return native.line_of_offsets(text, offsets.astype(np.int64))
+    nl = np.flatnonzero(text == 0x0A)
+    bounds = np.concatenate([nl, [len(text)]])
+    starts = np.concatenate([[0], nl + 1])
+    line_no = np.searchsorted(bounds, offsets, side="left")
+    return line_no, starts[line_no], bounds[line_no]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jrep", add_help=True)
+    ap.add_argument("-r", action="store_true", dest="recurse")
+    ap.add_argument("-c", action="store_true", dest="count_lines")
+    ap.add_argument("-l", action="store_true", dest="files_only")
+    ap.add_argument("-n", action="store_true", dest="line_numbers")
+    ap.add_argument("-q", action="store_true", dest="quiet")
+    ap.add_argument("--count-matches", action="store_true")
+    ap.add_argument("--engine", default=None)
+    ap.add_argument("pattern")
+    ap.add_argument("files", nargs="+")
+    args = ap.parse_args(argv)
+
+    from rejit_tpu import Config, Pattern
+
+    cfg = Config.from_env(engine=args.engine) if args.engine else Config.from_env()
+    pat = Pattern(args.pattern, cfg)
+
+    any_match = False
+    multi = len(list(iter_files(args.files, args.recurse))) > 1
+    for path in iter_files(args.files, args.recurse):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            print(f"jrep: {path}: {e}", file=sys.stderr)
+            continue
+        text = np.frombuffer(data, dtype=np.uint8)
+        if args.count_matches:
+            cnt = pat.match_all_count(text)
+            any_match |= cnt > 0
+            print(f"{path}:{cnt}" if multi else cnt)
+            continue
+        starts, _ends, _pids = pat.match_all_arrays(text)
+        if len(starts) == 0:
+            continue
+        any_match = True
+        if args.quiet:
+            return 0
+        if args.files_only:
+            print(path)
+            continue
+        line_no, lo, hi = line_info(text, starts)
+        uniq = np.unique(line_no, return_index=True)[1]
+        if args.count_lines:
+            print(f"{path}:{len(uniq)}" if multi else len(uniq))
+            continue
+        for k in uniq:
+            line = data[lo[k] : hi[k]].decode("utf-8", "replace")
+            prefix = f"{path}:" if multi else ""
+            if args.line_numbers:
+                prefix += f"{int(line_no[k]) + 1}:"
+            print(prefix + line)
+    return 0 if any_match else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
