@@ -23,6 +23,7 @@ from .compile.dfa import compile_patterns
 from .config import Config, DEFAULT
 from .engine import pipeline, select, spans
 from .kernels import literal as literal_kernel
+from .utils.stats import MatchStats, Timer
 
 Span = Tuple[int, int]
 TextLike = Union[str, bytes, bytearray, np.ndarray]
@@ -81,12 +82,30 @@ class Pattern:
         self.tables = None
         self.ct = None
         self._oracle = None
+        self.last_stats: MatchStats = MatchStats()
         if self.engine == "dfa":
-            self.tables = compile_patterns(
-                self.irs,
-                max_nfa_states=config.max_nfa_states,
-                max_dfa_states=config.max_dfa_states,
-            )
+            self.tables = None
+            if config.disk_cache:
+                from .engine import cache as diskcache
+
+                self.tables = diskcache.load_cached(
+                    self.source, config.max_nfa_states, config.max_dfa_states
+                )
+            if self.tables is None:
+                self.tables = compile_patterns(
+                    self.irs,
+                    max_nfa_states=config.max_nfa_states,
+                    max_dfa_states=config.max_dfa_states,
+                )
+                if config.disk_cache:
+                    from .engine import cache as diskcache
+
+                    diskcache.store_cached(
+                        self.source,
+                        config.max_nfa_states,
+                        config.max_dfa_states,
+                        self.tables,
+                    )
             if config.print_tables:
                 from .compile import debug
 
@@ -179,8 +198,22 @@ class Pattern:
             triples = self._oracle.match_all_ids(t.tobytes())
             arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
             return arr[:, 0], arr[:, 1], arr[:, 2]
-        pos, end, pid = self._candidates(t)
-        return select.match_all_candidates(pos, end, pid)
+        with Timer() as t_all:
+            with Timer() as t_dev:
+                pos, end, pid = self._candidates(t)
+            with Timer() as t_sel:
+                out = select.match_all_candidates(pos, end, pid)
+        self.last_stats = MatchStats(
+            engine=self.engine,
+            op="match_all",
+            n_bytes=len(t),
+            n_candidates=len(pos),
+            n_matches=len(out[0]),
+            device_time_s=t_dev.elapsed,
+            select_time_s=t_sel.elapsed,
+            total_time_s=t_all.elapsed,
+        )
+        return out
 
     def tokenize(self, text: TextLike) -> List[Tuple[int, int, int]]:
         """MatchAll with pattern ids: (start, end, pattern_id) triples."""

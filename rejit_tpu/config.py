@@ -45,6 +45,9 @@ class Config:
     # Use the native C++ helpers when built ('auto'|'native'|'python').
     selection: str = "auto"
 
+    # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
+    disk_cache: bool = False
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 
@@ -65,6 +68,7 @@ class Config:
             max_nfa_states=_env_int("REJIT_TPU_MAX_NFA_STATES", 20000),
             max_dfa_states=_env_int("REJIT_TPU_MAX_DFA_STATES", 4096),
             selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
+            disk_cache=_env_bool("REJIT_TPU_DISK_CACHE", False),
             interpret=_env_bool("REJIT_TPU_INTERPRET", False),
             print_tree=_env_bool("REJIT_TPU_PRINT_TREE", False),
             print_tables=_env_bool("REJIT_TPU_PRINT_TABLES", False),
