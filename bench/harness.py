@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Full benchmark matrix: the five BASELINE.json configs (BASELINE.md table).
+
+Run:  python bench/harness.py [--size MB] [--json out.json] [--configs 1,2,3]
+
+Config 5 (multi-host) runs data-parallel over however many devices are
+visible (1 on this rig; the sharded path is the same code that scales to
+N hosts — SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tmed(fn, iters=5, rounds=3):
+    r = fn()
+    try:
+        r.block_until_ready()
+    except AttributeError:
+        pass
+    best = None
+    for _ in range(rounds):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            r = fn()
+            try:
+                r.block_until_ready()
+            except AttributeError:
+                pass
+            ts.append(time.perf_counter() - t0)
+        med = statistics.median(ts)
+        best = med if best is None else min(best, med)
+    return best
+
+
+def run_configs(size_mb: float, which):
+    import jax
+    import jax.numpy as jnp
+
+    from bench.corpus import make_corpus, make_lines_corpus
+    from rejit_tpu import Pattern
+    from rejit_tpu.engine import pipeline, spans
+    from rejit_tpu.kernels import literal as lk
+    from rejit_tpu import oracle
+
+    size = int(size_mb * 1024 * 1024)
+    results = {}
+
+    def report(name, seconds, nbytes, extra=""):
+        gbps = nbytes / seconds / 1e9
+        results[name] = {"seconds": seconds, "bytes": nbytes, "GBps": gbps}
+        log(f"{name}: {seconds*1e3:.3f} ms -> {gbps:.2f} GB/s {extra}")
+
+    # ---- config 1: literal MatchAll ------------------------------------
+    if 1 in which:
+        corpus = make_corpus(size, seed=0, needle=b"packet", density=0.002)
+        n = len(corpus)
+        text = np.frombuffer(corpus, dtype=np.uint8)
+        p = Pattern("packet")
+        ext = jax.device_put(jnp.asarray(lk.extend_pad(text, n, 6)))
+        n_dev = jnp.int32(n)
+        fn = lambda: lk.literal_count_device(
+            ext, n_dev, lits=p.info.literals, P=n
+        )
+        assert int(fn()) == corpus.count(b"packet")
+        report("config1_literal_count", tmed(fn), n)
+
+        # span path, device side only (L/I + compaction count)
+        fn2 = lambda: lk.literal_l_arrays_device(
+            ext, n_dev, lits=p.info.literals, pids=p.info.literal_pids, P=n
+        )[0]
+        report("config1_literal_Larray", tmed(fn2), n)
+
+    # ---- config 2: class + alternation ---------------------------------
+    if 2 in which:
+        corpus = make_corpus(size, seed=1, needle=b"foo", density=0.001)
+        n = len(corpus)
+        text = np.frombuffer(corpus, dtype=np.uint8)
+        for pat in ("[a-z]+", "foo|bar|baz"):
+            p = Pattern(pat, _dfa_cfg())
+            L_fn = _dfa_fn(p, text, jax, jnp)
+            report(f"config2_dfa_{pat}", tmed(L_fn), n, f"Q={p.tables.n_states}")
+
+    # ---- config 3: full regex via dense DFA ----------------------------
+    if 3 in which:
+        corpus = make_corpus(size, seed=2)
+        n = len(corpus)
+        text = np.frombuffer(corpus, dtype=np.uint8)
+        p = Pattern(r"\b\w+ing\b", _dfa_cfg())
+        L_fn = _dfa_fn(p, text, jax, jnp)
+        report("config3_dfa_wb_ing", tmed(L_fn), n, f"Q={p.tables.n_states}")
+
+    # ---- config 4: tokenizer multi-pattern -----------------------------
+    if 4 in which:
+        corpus = make_corpus(size, seed=3)
+        n = len(corpus)
+        text = np.frombuffer(corpus, dtype=np.uint8)
+        p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
+        L_fn = _dfa_fn(p, text, jax, jnp)
+        report("config4_tokenizer_L", tmed(L_fn), n, f"Q={p.tables.n_states}")
+        # end-to-end spans (host selection included)
+        p.match_all_arrays(text)
+        t0 = time.perf_counter()
+        starts, _, _ = p.match_all_arrays(text)
+        report("config4_tokenizer_e2e", time.perf_counter() - t0, n,
+               f"{len(starts)} tokens")
+
+    # ---- config 5: sharded corpus over all devices ---------------------
+    if 5 in which:
+        from rejit_tpu.dist.mesh import make_mesh
+        from rejit_tpu.dist.sharded import sharded_l_arrays_device
+        from rejit_tpu.compile import parser as rparser
+        from rejit_tpu.compile.dfa import compile_patterns
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = make_mesh()
+        D = mesh.devices.size
+        corpus = make_corpus(size, seed=4, needle=b"packet", density=0.002)
+        n = len(corpus)
+        block = 256
+        chunk = D * block
+        P = ((n + 1 + chunk - 1) // chunk) * chunk
+        pad = np.zeros(P, dtype=np.uint8)
+        pad[:n] = np.frombuffer(corpus, dtype=np.uint8)
+        t = compile_patterns([rparser.parse(rb"packet")])
+        ct = pipeline.device_tables(t)
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        text_dev = jax.device_put(jnp.asarray(pad), sharding)
+        fn = lambda: sharded_l_arrays_device(
+            ct, text_dev, jnp.int32(n), mesh=mesh, block=block, num_shards=D
+        )[0]
+        report(f"config5_sharded_D{D}", tmed(fn), n)
+
+    return results
+
+
+def _dfa_cfg():
+    from rejit_tpu import Config
+
+    return Config(engine="dfa", block_size=256)
+
+
+def _dfa_fn(p, text, jax, jnp):
+    n = len(text)
+    block = p.config.block_size
+    P = ((n + block - 1) // block) * block
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    from rejit_tpu.engine import pipeline
+
+    text_dev = jax.device_put(jnp.asarray(pad))
+    n_dev = jnp.int32(n)
+    return lambda: pipeline.l_arrays_device(
+        p.ct, text_dev, n_dev, block=block
+    )[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=float, default=10.0, help="corpus MB")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    which = {int(x) for x in args.configs.split(",")}
+    results = run_configs(args.size, which)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

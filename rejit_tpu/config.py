@@ -32,7 +32,7 @@ class Config:
     engine: Optional[str] = None
 
     # Text block size for the blocked DFA scan (bytes per block).
-    block_size: int = 256
+    block_size: int = 32
 
     # Fast-forward prefilter (rejit use_fast_forward / force_ff analogs).
     use_ff: bool = True
@@ -62,7 +62,7 @@ class Config:
     def from_env(**overrides) -> "Config":
         base = Config(
             engine=os.environ.get("REJIT_TPU_ENGINE") or None,
-            block_size=_env_int("REJIT_TPU_BLOCK_SIZE", 256),
+            block_size=_env_int("REJIT_TPU_BLOCK_SIZE", 32),
             use_ff=_env_bool("REJIT_TPU_USE_FF", True),
             force_ff=_env_bool("REJIT_TPU_FORCE_FF", False),
             max_nfa_states=_env_int("REJIT_TPU_MAX_NFA_STATES", 20000),

@@ -108,7 +108,7 @@ def sharded_l_arrays_device(
     n: jnp.ndarray,
     *,
     mesh: Mesh,
-    block: int = 256,
+    block: int = 32,
     axis: str = "data",
     num_shards: int = 1,
 ):
@@ -135,7 +135,7 @@ def sharded_l_arrays(
     text: np.ndarray,
     mesh: Mesh,
     *,
-    block: int = 256,
+    block: int = 32,
     axis: str = "data",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: shard + pad a host text, run, trim to n+1."""

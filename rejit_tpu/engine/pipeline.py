@@ -2,17 +2,27 @@
 
 TPU-native replacement for rejit's generated matching code (reference:
 rejit:src/x64/codegen-x64.cc state-ring hot loops, unverified recall —
-SURVEY.md §3.1): instead of per-byte branchy stepping, the text is cut into
-blocks and the DFA is run as a *state-map algebra* (see
-rejit_tpu/engine/reference.py for the algebra and its numpy validation):
+SURVEY.md §3.1). The text is cut into blocks of K bytes and the DFA runs as a
+*state-map algebra* (rejit_tpu/engine/reference.py documents the algebra and
+is its numpy validation):
 
-  phase 1  per-block (f, m, i) suffix summaries — lax.scan over block bytes,
-           batched over all blocks; transitions via take_along_axis (lane
-           -dimension dynamic gather, fast on TPU VPU)
+  phase 1  per-block forward (f, m, i) summaries: f = end state per start
+           state, m/i = last accepting boundary + pattern id
   phase 2  jax.lax.associative_scan (reverse) composing block summaries —
            the "simultaneous DFA" construction (PAPERS.md:8,:9)
-  phase 3  re-run blocks seeded with their suffix summary, emitting
-           L[s] = longest match end from s, I[s] = pattern id, for every s
+  phase 3  per-position forward threads (one per boundary) run to their
+           block end, then splice the block's suffix summary, emitting
+           L[s] = longest match end from s and I[s] = pattern id
+
+TPU layout decisions (measured, not guessed — the naive (blocks, Q) layout
+with Q on the 128-lane axis ran ~1000x slower):
+  * big state arrays put the SMALL axis (Q states / K thread rows) on
+    sublanes and the LARGE axis (blocks) on lanes;
+  * (next, accept) are packed into one int32 flat table so each byte-step is
+    a single lane-dimension take_along_axis (TPU dynamic gather) + ALU ops;
+  * cross-state combines on small per-block arrays (phase 2 / suffix splice)
+    use take_along_axis on a (blocks, Q) layout or Q-term select chains —
+    they run once per block, not once per byte.
 
 Everything is static-shaped: texts are padded to a block multiple and the
 true length `n` is a device scalar; steps past `n` are identity, which makes
@@ -35,51 +45,64 @@ from ..compile.dfa import DFATables
 
 jax.config.update("jax_enable_x64", False)
 
+DEFAULT_BLOCK = 32
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceTables:
     """Device-resident, replicated DFA tables (CompiledPattern payload)."""
 
-    class_of: jnp.ndarray   # (256,) int32: byte -> class
-    nextT: jnp.ndarray      # (C, Q) int32: class-major transition
-    acceptT: jnp.ndarray    # (C, Q) int32: pattern id or -1
+    class_of: jnp.ndarray    # (256,) int32: byte -> class
+    packed: jnp.ndarray      # (Q*C,) int32: next*256 + (accept_pid+1)
     accept_eot: jnp.ndarray  # (Q,) int32
     start_by_ctx: jnp.ndarray  # (4,) int32
-    ctx_of: jnp.ndarray     # (256,) int32: byte -> context class
+    ctx_of: jnp.ndarray      # (256,) int32: byte -> context class
+    n_classes: int
+    dead: int
 
     def tree_flatten(self):
         return (
-            (self.class_of, self.nextT, self.acceptT, self.accept_eot,
+            (self.class_of, self.packed, self.accept_eot,
              self.start_by_ctx, self.ctx_of),
-            None,
+            (self.n_classes, self.dead),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, n_classes=aux[0], dead=aux[1])
 
     @property
     def n_states(self) -> int:
-        return self.nextT.shape[1]
+        return self.packed.shape[0] // self.n_classes
 
 
 def device_tables(t: DFATables) -> DeviceTables:
+    assert t.n_patterns < 255, "pattern id must fit packed accept byte"
+    packed = (
+        t.next.astype(np.int32) * 256
+        + (t.accept.astype(np.int32) + 1)
+    ).reshape(-1)
     return DeviceTables(
         class_of=jnp.asarray(t.class_of, dtype=jnp.int32),
-        nextT=jnp.asarray(t.next.T, dtype=jnp.int32),
-        acceptT=jnp.asarray(t.accept.T, dtype=jnp.int32),
+        packed=jnp.asarray(packed, dtype=jnp.int32),
         accept_eot=jnp.asarray(t.accept_eot, dtype=jnp.int32),
         start_by_ctx=jnp.asarray(t.start_states, dtype=jnp.int32),
         ctx_of=jnp.asarray(t.ctx_table(), dtype=jnp.int32),
+        n_classes=t.n_classes,
+        dead=t.dead,
     )
+
+
+# ---------------------------------------------------------------------------
+# Summary algebra on (nb, Q) arrays (used once per block, not per byte)
+# ---------------------------------------------------------------------------
 
 
 def combine(a, b):
     """Compose summaries: `a` covers earlier text, `b` the suffix after it.
 
-    Each summary is (f, m, i) with state-indexed last axis (reference.py
-    documents the algebra and its associativity)."""
+    Each summary is (f, m, i) with a state-indexed LAST axis."""
     fa, ma, ia = a
     fb, mb, ib = b
     f = jnp.take_along_axis(fb, fa, axis=-1)
@@ -89,45 +112,12 @@ def combine(a, b):
     return f, jnp.where(later, mg, ma), jnp.where(later, ig, ia)
 
 
-def _masked_step(ct: DeviceTables, carry, c, pos, n):
-    """One backward byte-step of the (f, m, i) summary; identity past n."""
-    f, m, i = carry
-    valid = (pos < n)[:, None]
-    step_f = jnp.take(ct.nextT, c, axis=0)          # (nb, Q)
-    acc = jnp.take(ct.acceptT, c, axis=0)           # (nb, Q)
-    f_new = jnp.take_along_axis(f, step_f, axis=1)
-    m_g = jnp.take_along_axis(m, step_f, axis=1)
-    i_g = jnp.take_along_axis(i, step_f, axis=1)
-    later = m_g >= 0
-    m_new = jnp.where(later, m_g, jnp.where(acc >= 0, pos[:, None], -1))
-    i_new = jnp.where(later, i_g, acc)
-    f = jnp.where(valid, f_new, f)
-    m = jnp.where(valid, m_new, m)
-    i = jnp.where(valid, i_new, i)
-    return f, m, i
-
-
-def phase1_summaries(ct: DeviceTables, clsb, posb, n):
-    """Per-block (f, m, i) summaries. clsb/posb are (K, nb) byte-reversed
-    column-major views (row k = byte K-1-k of each block)."""
-    nb = clsb.shape[1]
-    Q = ct.n_states
-    ident = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32), (nb, Q))
-    neg = jnp.full((nb, Q), -1, dtype=jnp.int32)
-
-    def bstep(carry, xs):
-        c, pos = xs
-        return _masked_step(ct, carry, c, pos, n), None
-
-    (f, m, i), _ = jax.lax.scan(bstep, (ident, neg, neg), (clsb, posb))
-    return f, m, i
-
-
 def suffix_scan(summaries, tail):
     """Exclusive suffix composition across the block axis (axis 0).
 
-    `tail` is the summary of everything after the last block (EOT seed, or a
-    cross-shard suffix). Returns per-block exclusive suffixes."""
+    summaries: (f, m, i) each (nb, Q); tail: (Q,) summary of everything after
+    the last block (EOT seed or cross-shard suffix). Returns per-block
+    exclusive suffixes, each (nb, Q)."""
     fs = jnp.concatenate([summaries[0], tail[0][None]], axis=0)
     ms = jnp.concatenate([summaries[1], tail[1][None]], axis=0)
     is_ = jnp.concatenate([summaries[2], tail[2][None]], axis=0)
@@ -140,30 +130,104 @@ def suffix_scan(summaries, tail):
     return fS[1:], mS[1:], iS[1:]
 
 
-def phase3_emit(ct: DeviceTables, suf, clsb, posb, startsb, n):
-    """Seeded backward re-run emitting (L, I) per boundary.
-
-    Returns (L, I) of shape (nb*K,), boundary-ordered."""
-    def estep(carry, xs):
-        c, pos, st = xs
-        f, m, i = _masked_step(ct, carry, c, pos, n)
-        st2 = st[:, None]
-        L_k = jnp.take_along_axis(m, st2, axis=1)[:, 0]
-        I_k = jnp.take_along_axis(i, st2, axis=1)[:, 0]
-        return (f, m, i), (L_k, I_k)
-
-    _, (Lr, Ir) = jax.lax.scan(estep, suf, (clsb, posb, startsb))
-    P = Lr.size
-    L = Lr[::-1].T.reshape(P)
-    I = Ir[::-1].T.reshape(P)
-    return L, I
-
-
 def eot_seed(ct: DeviceTables, n):
     Q = ct.n_states
     f = jnp.arange(Q, dtype=jnp.int32)
     m = jnp.where(ct.accept_eot >= 0, n, -1).astype(jnp.int32)
     return f, m, ct.accept_eot
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: per-block forward summaries, states on sublanes
+# ---------------------------------------------------------------------------
+
+
+def phase1_summaries(ct: DeviceTables, cls_kb, pos_kb, n):
+    """Per-block forward (f, m, i) summaries.
+
+    cls_kb/pos_kb: (K, nb) forward order (row k = byte k of each block).
+    Returns (f, m, i) each (nb, Q) for the suffix scan."""
+    K, nb = cls_kb.shape
+    Q = ct.n_states
+    C = ct.n_classes
+    tab = jnp.broadcast_to(ct.packed[None, :], (Q, Q * C))
+
+    S0 = jnp.broadcast_to(
+        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, nb)
+    )
+    neg = jnp.full((Q, nb), -1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        S, m, i = carry
+        c, pos = xs                                   # (nb,)
+        valid = (pos < n)[None, :]
+        val = jnp.take_along_axis(tab, S * C + c[None, :], axis=-1)
+        acc = (val & 255) - 1
+        hit = valid & (acc >= 0)
+        m = jnp.where(hit, pos[None, :], m)
+        i = jnp.where(hit, acc, i)
+        S = jnp.where(valid, val >> 8, S)
+        return (S, m, i), None
+
+    (S, m, i), _ = jax.lax.scan(step, (S0, neg, neg), (cls_kb, pos_kb))
+    return S.T, m.T, i.T
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: per-position forward threads, thread rows on sublanes
+# ---------------------------------------------------------------------------
+
+
+def phase3_emit(ct: DeviceTables, suf, cls_kb, pos_kb, startsb, n):
+    """Per-boundary thread emission.
+
+    suf: (f, m, i) each (nb, Q) — exclusive suffix after each block.
+    cls_kb/pos_kb/startsb: (K, nb) forward order.
+    Returns (L, I) of shape (K*nb,), boundary-ordered (b*K + k)."""
+    K, nb = cls_kb.shape
+    Q = ct.n_states
+    C = ct.n_classes
+    tab = jnp.broadcast_to(ct.packed[None, :], (K, Q * C))
+
+    # Row k holds the thread starting at in-block offset k; at step j it
+    # consumes byte k+j, i.e. row k of cls shifted up by j.
+    cls_pad = jnp.concatenate(
+        [cls_kb, jnp.zeros((K, nb), dtype=jnp.int32)], axis=0
+    )
+    rows = jnp.arange(K, dtype=jnp.int32)[:, None]     # (K, 1)
+
+    S = startsb
+    m = jnp.full((K, nb), -1, dtype=jnp.int32)
+    i = jnp.full((K, nb), -1, dtype=jnp.int32)
+
+    def step(j, carry):
+        S, m, i = carry
+        c_j = jax.lax.dynamic_slice(cls_pad, (j, 0), (K, nb))
+        pos_j = pos_kb + j
+        active = (rows + j < K) & (pos_j < n)
+        val = jnp.take_along_axis(tab, S * C + c_j, axis=-1)
+        acc = (val & 255) - 1
+        hit = active & (acc >= 0)
+        m = jnp.where(hit, pos_j, m)
+        i = jnp.where(hit, acc, i)
+        S = jnp.where(active, val >> 8, S)
+        return (S, m, i)
+
+    S, m, i = jax.lax.fori_loop(0, K, step, (S, m, i))
+
+    # Splice the block's suffix summary for threads alive at block end:
+    # Q-term select chain (runs once per block, not per byte).
+    f_suf, m_suf, i_suf = suf
+    m_tail = jnp.full((K, nb), -1, dtype=jnp.int32)
+    i_tail = jnp.full((K, nb), -1, dtype=jnp.int32)
+    for q in range(Q):
+        sel = S == q
+        m_tail = jnp.where(sel, m_suf[:, q][None, :], m_tail)
+        i_tail = jnp.where(sel, i_suf[:, q][None, :], i_tail)
+    later = m_tail >= 0
+    L = jnp.where(later, m_tail, m)
+    I = jnp.where(later, i_tail, i)
+    return L.T.reshape(K * nb), I.T.reshape(K * nb)
 
 
 def classify(ct: DeviceTables, text):
@@ -173,13 +237,17 @@ def classify(ct: DeviceTables, text):
 
 
 def block_views(arr, nb: int, K: int):
-    """(P,) -> (K, nb) byte-reversed column-major view for the scans."""
-    return arr.reshape(nb, K).T[::-1]
+    """(P,) -> (K, nb) forward column-major view (row k = byte k of block)."""
+    return arr.reshape(nb, K).T
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def l_arrays_device(
-    ct: DeviceTables, text: jnp.ndarray, n: jnp.ndarray, *, block: int = 256
+    ct: DeviceTables,
+    text: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    block: int = DEFAULT_BLOCK,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) int32 arrays of length P+1 (P = padded length).
 
@@ -200,14 +268,13 @@ def l_arrays_device(
     start_eot = ct.start_by_ctx[ctx[-1]]                # boundary P
 
     pos = jnp.arange(P, dtype=jnp.int32)
-    clsb = block_views(cls, nb, K)
-    posb = block_views(pos, nb, K)
+    cls_kb = block_views(cls, nb, K)
+    pos_kb = block_views(pos, nb, K)
     startsb = block_views(starts, nb, K)
 
-    summaries = phase1_summaries(ct, clsb, posb, n)
+    summaries = phase1_summaries(ct, cls_kb, pos_kb, n)
     suf = suffix_scan(summaries, eot_seed(ct, n))
-    suf0 = (suf[0], suf[1], suf[2])
-    L, I = phase3_emit(ct, suf0, clsb, posb, startsb, n)
+    L, I = phase3_emit(ct, suf, cls_kb, pos_kb, startsb, n)
 
     # Boundary P from the bare EOT seed; boundaries > n masked to -1.
     L_P = jnp.where(ct.accept_eot[start_eot] >= 0, n, -1).astype(jnp.int32)
@@ -221,7 +288,7 @@ def l_arrays_device(
 
 
 def l_arrays(
-    t_or_ct, text: np.ndarray, n: int, *, block: int = 256
+    t_or_ct, text: np.ndarray, n: int, *, block: int = DEFAULT_BLOCK
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: numpy in (already padded), numpy out (trimmed to n+1)."""
     ct = device_tables(t_or_ct) if isinstance(t_or_ct, DFATables) else t_or_ct
