@@ -112,11 +112,14 @@ def run_configs(size_mb: float, which):
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
         L_fn = _dfa_fn(p, text, jax, jnp)
         report("config4_tokenizer_L", tmed(L_fn), n, f"Q={p.tables.n_states}")
-        # end-to-end spans (host selection included)
-        p.match_all_arrays(text)
+        # end-to-end spans incl. host transfer + selection (1 MB: the span
+        # list is dense, ~1 token/3 bytes; see engine/select_device for the
+        # device-resident path)
+        small = text[: 1024 * 1024]
+        p.match_all_arrays(small)
         t0 = time.perf_counter()
-        starts, _, _ = p.match_all_arrays(text)
-        report("config4_tokenizer_e2e", time.perf_counter() - t0, n,
+        starts, _, _ = p.match_all_arrays(small)
+        report("config4_tokenizer_e2e", time.perf_counter() - t0, len(small),
                f"{len(starts)} tokens")
 
     # ---- config 5: sharded corpus over all devices ---------------------

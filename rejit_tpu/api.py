@@ -21,7 +21,7 @@ from .compile import analysis, parser
 from .compile import ir as ir_mod
 from .compile.dfa import compile_patterns
 from .config import Config, DEFAULT
-from .engine import pipeline, select, spans
+from .engine import pipeline, select, select_device, spans
 from .kernels import literal as literal_kernel
 from .utils.stats import MatchStats, Timer
 
@@ -200,14 +200,21 @@ class Pattern:
             return arr[:, 0], arr[:, 1], arr[:, 2]
         with Timer() as t_all:
             with Timer() as t_dev:
-                pos, end, pid = self._candidates(t)
-            with Timer() as t_sel:
-                out = select.match_all_candidates(pos, end, pid)
+                L, I = self._l_i_device(t)
+                n_cand = int(spans.candidate_count(L))
+            if n_cand > self.config.device_select_threshold:
+                with Timer() as t_sel:
+                    out = select_device.match_all_device(L, I)
+                pos = out[0]
+            else:
+                pos, end, pid = spans.candidates_host(L, I)
+                with Timer() as t_sel:
+                    out = select.match_all_candidates(pos, end, pid)
         self.last_stats = MatchStats(
             engine=self.engine,
             op="match_all",
             n_bytes=len(t),
-            n_candidates=len(pos),
+            n_candidates=n_cand,
             n_matches=len(out[0]),
             device_time_s=t_dev.elapsed,
             select_time_s=t_sel.elapsed,

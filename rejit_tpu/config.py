@@ -48,6 +48,11 @@ class Config:
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False
 
+    # Above this many candidates, MatchAll selection runs on device
+    # (pointer doubling, engine/select_device.py) so host transfer stays
+    # O(#matches) instead of O(#candidates).
+    device_select_threshold: int = 65536
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 

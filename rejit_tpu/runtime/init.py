@@ -1,0 +1,65 @@
+"""Runtime bootstrap: device/mesh init for single- and multi-host runs.
+
+Layer N0 of the new framework (SURVEY.md §1): the reference has no runtime
+layer at all (single-threaded library); here we wrap jax.distributed
+initialization so multi-host corpus sharding (BASELINE.json:5) is a config
+change, not a code change (SURVEY.md §7.2.6).
+
+Failure handling (SURVEY.md §5.3): fail-fast — jax.distributed's default.
+Match jobs are stateless, so recovery is shard-level retry at the driver
+(tools/jrep.py / bench harness re-run a failed file/shard); there is no
+training-style elastic state to restore. Checkpointing of *compiled
+patterns* is rejit_tpu/engine/cache.py.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+_INITIALIZED = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed when running multi-host.
+
+    No-ops for single-process runs (the common single-host case) and when
+    already initialized. Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID), so
+    launchers only set the environment.
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None or num_processes in (None, 1):
+        _INITIALIZED = True  # single process: nothing to do
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _INITIALIZED = True
+
+
+def device_summary() -> str:
+    devs = jax.devices()
+    kinds = {}
+    for d in devs:
+        kinds[d.device_kind] = kinds.get(d.device_kind, 0) + 1
+    kindstr = ", ".join(f"{v}x {k}" for k, v in kinds.items())
+    return (
+        f"{jax.process_count()} process(es), {len(devs)} device(s): {kindstr}"
+    )

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""regex-dna shootout benchmark on the rejit_tpu engine.
+
+Capability parity with rejit:sample/regexdna.cc (SURVEY.md §2.1/C12): the
+Computer Language Benchmarks Game "regex-dna" task — count DNA pattern
+variants, then apply IUB-code substitutions and report sequence lengths.
+
+Usage: python samples/regexdna.py [n_basepairs]   (generates its own FASTA)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def make_fasta(n: int, seed: int = 42) -> bytes:
+    """Benchmarks-game-style FASTA: header lines + 60-col random ACGT with
+    IUB ambiguity codes sprinkled in."""
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"acgtacgtacgtacgtacgtBDHKMNRSVWY", dtype=np.uint8)
+    seq = rng.choice(alphabet, size=n)
+    lines = [b">ONE Homo sapiens alu"]
+    for i in range(0, n, 60):
+        lines.append(seq[i : i + 60].tobytes())
+    return b"\n".join(lines) + b"\n"
+
+
+VARIANTS = [
+    "agggtaaa|tttaccct",
+    "[cgt]gggtaaa|tttaccc[acg]",
+    "a[act]ggtaaa|tttacc[agt]t",
+    "ag[act]gtaaa|tttac[agt]ct",
+    "agg[act]taaa|ttta[agt]cct",
+    "aggg[acg]aaa|ttt[cgt]ccct",
+    "agggt[cgt]aa|tt[acg]accct",
+    "agggta[cgt]a|t[acg]taccct",
+    "agggtaa[cgt]|[acg]ttaccct",
+]
+
+IUB = [
+    ("B", "(c|g|t)"), ("D", "(a|g|t)"), ("H", "(a|c|t)"), ("K", "(g|t)"),
+    ("M", "(a|c)"), ("N", "(a|c|g|t)"), ("R", "(a|g)"), ("S", "(c|g)"),
+    ("V", "(a|c|g)"), ("W", "(a|t)"), ("Y", "(c|t)"),
+]
+
+
+def main():
+    from rejit_tpu import Pattern
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    data = make_fasta(n)
+    ilen = len(data)
+
+    # Strip headers and newlines (the benchmark's first step).
+    stripped = Pattern(r"(>[^\n]*\n)|\n").replace(data, b"")
+    clen = len(stripped)
+
+    t0 = time.time()
+    for pat in VARIANTS:
+        # Case-insensitive via explicit classes (engine is byte-exact).
+        ci = "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in pat)
+        print(f"{pat} {Pattern(ci).match_all_count(stripped)}")
+
+    seq = stripped
+    for code, repl in IUB:
+        seq = Pattern(f"[{code}{code.lower()}]").replace(seq, repl.encode())
+
+    print()
+    print(ilen)
+    print(clen)
+    print(len(seq))
+    print(f"# {time.time() - t0:.2f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
