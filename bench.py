@@ -42,6 +42,10 @@ def measure_child() -> dict:
     from rejit_tpu.kernels import literal as lk
 
     import jax
+
+    from rejit_tpu.runtime.init import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     corpus = make_corpus(SIZE, seed=0, needle=NEEDLE, density=0.002)

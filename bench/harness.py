@@ -49,6 +49,10 @@ def tmed(fn, iters=5, rounds=3):
 
 def run_configs(size_mb: float, which):
     import jax
+
+    from rejit_tpu.runtime.init import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from bench.corpus import make_corpus, make_lines_corpus

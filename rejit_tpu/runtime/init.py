@@ -21,6 +21,19 @@ import jax
 _INITIALIZED = False
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache (compiles survive process
+    restarts — important on shared/tunneled TPU frontends where the compile
+    service has time-varying latency)."""
+    path = path or os.environ.get(
+        "REJIT_TPU_JAX_CACHE", os.path.expanduser("~/.cache/jax_comp")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -1,0 +1,45 @@
+"""Sharded literal count: halo windows + psum on the 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+from rejit_tpu import oracle
+from rejit_tpu.compile import analysis, parser
+from rejit_tpu.dist.literal import sharded_literal_count
+from rejit_tpu.dist.mesh import make_mesh
+
+
+def _count(lits, text):
+    mesh = make_mesh()
+    return sharded_literal_count(
+        tuple(lits), np.frombuffer(text, np.uint8), mesh
+    )
+
+
+def test_needles_on_every_shard_boundary():
+    # 8 shards; plant needles exactly straddling each boundary.
+    text = bytearray(b"." * 64)
+    for b in range(8, 64, 8):
+        text[b - 3 : b + 3] = b"needle"[:6]
+    text = bytes(text)
+    expected = oracle.match_all_count(rb"ne", text)
+    assert _count([b"ne"], text) == expected
+
+
+def test_matches_oracle_on_random_text():
+    rng = np.random.default_rng(5)
+    lits = [b"foo", b"bar", b"bazz"]
+    assert analysis.literals_overlap_free(lits)
+    text = bytes(rng.choice(np.frombuffer(b"fobarz .", np.uint8), size=333))
+    want = oracle.match_all_count(rb"foo|bar|bazz", text)
+    assert _count(lits, text) == want
+
+
+def test_literal_longer_than_natural_shard():
+    text = b"longneedlehere" * 2
+    want = oracle.match_all_count(rb"longneedlehere", text)
+    assert _count([b"longneedlehere"], text) == want
+
+
+def test_empty_and_no_hits():
+    assert _count([b"xyz"], b"") == 0
+    assert _count([b"xyz"], b"aaaaaaaaaaaaaaaa") == 0
