@@ -117,17 +117,40 @@ def suffix_scan(summaries, tail):
 
     summaries: (f, m, i) each (nb, Q); tail: (Q,) summary of everything after
     the last block (EOT seed or cross-shard suffix). Returns per-block
-    exclusive suffixes, each (nb, Q)."""
-    fs = jnp.concatenate([summaries[0], tail[0][None]], axis=0)
-    ms = jnp.concatenate([summaries[1], tail[1][None]], axis=0)
-    is_ = jnp.concatenate([summaries[2], tail[2][None]], axis=0)
-    # With reverse=True, associative_scan feeds the combiner
-    # (aggregate-of-later-text, earlier-element) — verified empirically —
-    # so swap into combine's (earlier, later) convention.
-    fS, mS, iS = jax.lax.associative_scan(
-        lambda a, b: combine(b, a), (fs, ms, is_), reverse=True, axis=0
+    exclusive suffixes, each (nb, Q).
+
+    Implemented as a manual Hillis-Steele doubling scan: S[j] ⊕= S[j+d] for
+    d = 1,2,4,... with identity padding. jax.lax.associative_scan's Blelchan
+    -style lowering produced multi-minute XLA compiles at large nb; this
+    form is log2(nb) simple shift+combine levels and compiles fast."""
+    f, m, i = summaries
+    nb, Q = f.shape
+    ident = (
+        jnp.arange(Q, dtype=jnp.int32)[None, :],
+        jnp.full((1, Q), -1, jnp.int32),
+        jnp.full((1, Q), -1, jnp.int32),
     )
-    return fS[1:], mS[1:], iS[1:]
+
+    def shift(x, d, fill_row):
+        pad = jnp.broadcast_to(fill_row, (min(d, nb), Q))
+        return jnp.concatenate([x[d:], pad], axis=0)
+
+    # Exclusive seed: S0[j] = elems[j+1], with `tail` after the last block.
+    S = (
+        shift(f, 1, tail[0][None, :]),
+        shift(m, 1, tail[1][None, :]),
+        shift(i, 1, tail[2][None, :]),
+    )
+    d = 1
+    while d < nb:
+        shifted = (
+            shift(S[0], d, ident[0]),
+            shift(S[1], d, ident[1]),
+            shift(S[2], d, ident[2]),
+        )
+        S = combine(S, shifted)
+        d *= 2
+    return S
 
 
 def eot_seed(ct: DeviceTables, n):
