@@ -144,6 +144,14 @@ class Pattern:
         P = _bucket_blocks(max(1, -(-n // block))) * block
         pad = np.zeros(P, dtype=np.uint8)
         pad[:n] = text
+        if self.config.use_ff:
+            return pipeline.l_arrays_device_ff(
+                self.ct,
+                jnp.asarray(pad),
+                jnp.int32(n),
+                block=block,
+                force=self.config.force_ff,
+            )
         return pipeline.l_arrays_device(
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
         )

@@ -60,21 +60,38 @@ class DeviceTables:
     ctx_of: jnp.ndarray      # (256,) int32: byte -> context class
     n_classes: int
     dead: int
+    ff_class: jnp.ndarray    # (C,) int32: fast-forward candidate classes
 
     def tree_flatten(self):
         return (
             (self.class_of, self.packed, self.accept_eot,
-             self.start_by_ctx, self.ctx_of),
+             self.start_by_ctx, self.ctx_of, self.ff_class),
             (self.n_classes, self.dead),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_classes=aux[0], dead=aux[1])
+        return cls(*children[:5], n_classes=aux[0], dead=aux[1],
+                   ff_class=children[5])
 
     @property
     def n_states(self) -> int:
         return self.packed.shape[0] // self.n_classes
+
+
+def ff_class_mask(t: DFATables) -> np.ndarray:
+    """(C,) 0/1: byte classes on which a *fresh* thread can make progress
+    (move off dead, or accept immediately). A boundary whose byte class is
+    not in this set provably has L[s] = -1, so its block can skip phase 3.
+    Sound for every pattern (nullable/assertion starts included: acceptance
+    terms keep their classes candidates). This is the table-level analog of
+    rejit's fast-forward element set (SURVEY.md §2.1/C4)."""
+    mask = np.zeros(t.n_classes, dtype=np.int32)
+    for s in set(int(x) for x in t.start_states):
+        mask |= (
+            (t.next[s] != t.dead) | (t.accept[s] >= 0)
+        ).astype(np.int32)
+    return mask
 
 
 def device_tables(t: DFATables) -> DeviceTables:
@@ -91,6 +108,7 @@ def device_tables(t: DFATables) -> DeviceTables:
         ctx_of=jnp.asarray(t.ctx_table(), dtype=jnp.int32),
         n_classes=t.n_classes,
         dead=t.dead,
+        ff_class=jnp.asarray(ff_class_mask(t), dtype=jnp.int32),
     )
 
 
@@ -308,6 +326,109 @@ def l_arrays_device(
     L = jnp.where(bidx <= n, L, -1)
     I = jnp.where(bidx <= n, I, -1)
     return L, I
+
+
+# ---------------------------------------------------------------------------
+# Fast-forward filtered execution: phase 3 only on candidate blocks
+# ---------------------------------------------------------------------------
+
+
+def _views(ct, text, n, block):
+    P = text.shape[0]
+    K = block
+    nb = P // K
+    cls, ctx = classify(ct, text)
+    starts = jnp.concatenate([ct.start_by_ctx[:1], ct.start_by_ctx[ctx[:-1]]])
+    pos = jnp.arange(P, dtype=jnp.int32)
+    return (
+        block_views(cls, nb, K),
+        block_views(pos, nb, K),
+        block_views(starts, nb, K),
+        ctx,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def ff_phase12(ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK):
+    """Phase 1+2 plus the candidate-block mask. Returns
+    (suf (nb,Q) x3, cand_block (nb,) bool, n_cand_blocks)."""
+    P = text.shape[0]
+    K = block
+    nb = P // K
+    cls_kb, pos_kb, _startsb, _ctx = _views(ct, text, n, block)
+    summaries = phase1_summaries(ct, cls_kb, pos_kb, n)
+    suf = suffix_scan(summaries, eot_seed(ct, n))
+    is_cand = (ct.ff_class[cls_kb] > 0) & (pos_kb < n)      # (K, nb)
+    cand_block = jnp.any(is_cand, axis=0)                   # (nb,)
+    # The block holding boundary n must run (it emits L[n] via the seed).
+    holds_n = (pos_kb[0] <= n) & (n < pos_kb[0] + K)
+    cand_block = cand_block | holds_n
+    return suf, cand_block, jnp.sum(cand_block, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "cap"))
+def ff_phase3(
+    ct: DeviceTables, text, n, suf, cand_block,
+    *, block: int = DEFAULT_BLOCK, cap: int = 1,
+):
+    """Phase 3 restricted to candidate blocks, scattered back to (P+1,)."""
+    P = text.shape[0]
+    K = block
+    nb = P // K
+    cls_kb, pos_kb, startsb, ctx = _views(ct, text, n, block)
+
+    (idx,) = jnp.nonzero(cand_block, size=cap, fill_value=nb)
+    safe = jnp.minimum(idx, nb - 1)
+    cls_c = cls_kb[:, safe]
+    pos_c = jnp.where(idx[None, :] < nb, pos_kb[:, safe], n)  # masked cols
+    starts_c = startsb[:, safe]
+    suf_c = tuple(x[safe] for x in suf)
+
+    L_c, I_c = phase3_emit(ct, suf_c, cls_c, pos_c, starts_c, n)
+    L2 = jnp.full((nb, K), -1, dtype=jnp.int32)
+    I2 = jnp.full((nb, K), -1, dtype=jnp.int32)
+    L2 = L2.at[idx].set(L_c.reshape(cap, K), mode="drop")
+    I2 = I2.at[idx].set(I_c.reshape(cap, K), mode="drop")
+    L = L2.reshape(P)
+    I = I2.reshape(P)
+
+    start_eot = ct.start_by_ctx[ctx[-1]]
+    L_P = jnp.where(ct.accept_eot[start_eot] >= 0, n, -1).astype(jnp.int32)
+    I_P = ct.accept_eot[start_eot]
+    L = jnp.concatenate([L, L_P[None]])
+    I = jnp.concatenate([I, I_P[None]])
+    bidx = jnp.arange(P + 1, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    I = jnp.where(bidx <= n, I, -1)
+    return L, I
+
+
+def _bucket_cap(c: int, lo: int = 16) -> int:
+    cap = lo
+    while cap < c:
+        cap *= 4
+    return cap
+
+
+def l_arrays_device_ff(
+    ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK,
+    min_skip_fraction: float = 0.25, force: bool = False,
+):
+    """Host-orchestrated FF execution: run phase 3 on candidate blocks only.
+
+    Falls back to the single-program path when filtering would skip less
+    than `min_skip_fraction` of blocks (unless `force`, the rejit force_ff
+    analog)."""
+    P = text.shape[0]
+    nb = P // block
+    suf, cand_block, n_cand = ff_phase12(ct, text, n, block=block)
+    c = int(n_cand)
+    if not force and c >= nb * (1.0 - min_skip_fraction):
+        return l_arrays_device(ct, text, n, block=block)
+    cap = min(_bucket_cap(c), nb)
+    return ff_phase3(
+        ct, text, n, suf, cand_block, block=block, cap=cap
+    )
 
 
 def l_arrays(
