@@ -1,0 +1,68 @@
+"""jrep CLI tests (subprocess, CPU backend)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+JREP = os.path.join(REPO, "tools", "jrep.py")
+
+
+def run_jrep(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # The machine sitecustomize force-prepends the TPU plugin; jrep must
+    # still work there, but tests pin CPU for speed via jax config env.
+    return subprocess.run(
+        [sys.executable, JREP] + args,
+        capture_output=True,
+        text=True,
+        cwd=cwd or REPO,
+        env=env,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "a.txt").write_bytes(b"hello world\nneedle here\nbye\n")
+    (d / "b.txt").write_bytes(b"no match\n")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "c.log").write_bytes(b"a needle and another needle\n")
+    return d
+
+
+def test_basic_match_lines(tree):
+    r = run_jrep(["needle", str(tree / "a.txt")])
+    assert r.returncode == 0
+    assert r.stdout.strip() == "needle here"
+
+
+def test_line_numbers(tree):
+    r = run_jrep(["-n", "needle", str(tree / "a.txt")])
+    assert r.stdout.strip() == "2:needle here"
+
+
+def test_recursive_and_files_only(tree):
+    r = run_jrep(["-r", "-l", "needle", str(tree)])
+    files = sorted(os.path.basename(x) for x in r.stdout.split())
+    assert files == ["a.txt", "c.log"]
+
+
+def test_count_matches(tree):
+    r = run_jrep(["--count-matches", "needle", str(tree / "sub" / "c.log")])
+    assert r.stdout.strip() == "2"
+
+
+def test_no_match_exit_code(tree):
+    r = run_jrep(["zzz", str(tree / "b.txt")])
+    assert r.returncode == 1
+    assert r.stdout == ""
+
+
+def test_regex_pattern(tree):
+    r = run_jrep(["-n", r"^n\w+", str(tree / "a.txt")])
+    assert r.stdout.strip() == "2:needle here"

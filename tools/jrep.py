@@ -66,6 +66,13 @@ def main(argv=None) -> int:
     ap.add_argument("files", nargs="+")
     args = ap.parse_args(argv)
 
+    # Honor JAX_PLATFORMS=cpu even where a sitecustomize force-prepends a
+    # TPU plugin (it merges rather than replaces the platform list).
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from rejit_tpu import Config, Pattern
 
     cfg = Config.from_env(engine=args.engine) if args.engine else Config.from_env()
