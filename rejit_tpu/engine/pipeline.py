@@ -329,6 +329,55 @@ def l_arrays_device(
 
 
 # ---------------------------------------------------------------------------
+# Fused Pallas execution path (VMEM-resident byte stepping)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def l_arrays_device_pallas(
+    ct: DeviceTables,
+    text: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """l_arrays_device with phases 1/3 as fused Pallas kernels.
+
+    Requires nb (= len(text)/block) to be a multiple of the kernel CHUNK;
+    api padding guarantees this for the default sizes."""
+    from ..kernels import dfa_pallas
+
+    P = text.shape[0]
+    K = block
+    nb = P // K
+
+    cls, ctx = classify(ct, text)
+    starts = jnp.concatenate([ct.start_by_ctx[:1], ct.start_by_ctx[ctx[:-1]]])
+    start_eot = ct.start_by_ctx[ctx[-1]]
+    cls_kb = block_views(cls, nb, K)
+    startsb = block_views(starts, nb, K)
+
+    summaries = dfa_pallas.phase1_pallas(
+        ct.packed, ct.n_classes, cls_kb, n, K=K, interpret=interpret
+    )
+    suf = suffix_scan(summaries, eot_seed(ct, n))
+    L, I = dfa_pallas.phase3_pallas(
+        ct.packed, ct.n_classes, suf, cls_kb, startsb, n,
+        K=K, interpret=interpret,
+    )
+
+    L_P = jnp.where(ct.accept_eot[start_eot] >= 0, n, -1).astype(jnp.int32)
+    I_P = ct.accept_eot[start_eot]
+    L = jnp.concatenate([L, L_P[None]])
+    I = jnp.concatenate([I, I_P[None]])
+    bidx = jnp.arange(P + 1, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    I = jnp.where(bidx <= n, I, -1)
+    return L, I
+
+
+# ---------------------------------------------------------------------------
 # Fast-forward filtered execution: phase 3 only on candidate blocks
 # ---------------------------------------------------------------------------
 
