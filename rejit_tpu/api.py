@@ -141,7 +141,14 @@ class Pattern:
                 P=P,
             )
         block = self.config.block_size
-        P = _bucket_blocks(max(1, -(-n // block))) * block
+        use_pallas = self._use_pallas()
+        if use_pallas:
+            from .kernels.dfa_pallas import CHUNK
+
+            chunk_bytes = block * CHUNK
+            P = _bucket_blocks(max(1, -(-n // chunk_bytes))) * chunk_bytes
+        else:
+            P = _bucket_blocks(max(1, -(-n // block))) * block
         pad = np.zeros(P, dtype=np.uint8)
         pad[:n] = text
         if self.config.use_ff:
@@ -151,10 +158,25 @@ class Pattern:
                 jnp.int32(n),
                 block=block,
                 force=self.config.force_ff,
+                pallas=use_pallas,
+            )
+        if use_pallas:
+            return pipeline.l_arrays_device_pallas(
+                self.ct, jnp.asarray(pad), jnp.int32(n), block=block
             )
         return pipeline.l_arrays_device(
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
         )
+
+    def _use_pallas(self) -> bool:
+        mode = self.config.pallas
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
 
     def _l_i(self, text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Host (L, I) arrays trimmed to n+1 (test/debug aid)."""

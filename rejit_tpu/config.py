@@ -53,6 +53,10 @@ class Config:
     # O(#matches) instead of O(#candidates).
     device_select_threshold: int = 65536
 
+    # Fused Pallas kernels for the DFA byte-stepping phases:
+    # 'auto' (on TPU backends), 'on', or 'off'.
+    pallas: str = "auto"
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 
@@ -74,6 +78,7 @@ class Config:
             max_dfa_states=_env_int("REJIT_TPU_MAX_DFA_STATES", 4096),
             selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
             disk_cache=_env_bool("REJIT_TPU_DISK_CACHE", False),
+            pallas=os.environ.get("REJIT_TPU_PALLAS", "auto"),
             interpret=_env_bool("REJIT_TPU_INTERPRET", False),
             print_tree=_env_bool("REJIT_TPU_PRINT_TREE", False),
             print_tables=_env_bool("REJIT_TPU_PRINT_TABLES", False),

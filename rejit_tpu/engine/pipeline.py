@@ -397,15 +397,25 @@ def _views(ct, text, n, block):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def ff_phase12(ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK):
+@functools.partial(jax.jit, static_argnames=("block", "use_pallas"))
+def ff_phase12(
+    ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK,
+    use_pallas: bool = False,
+):
     """Phase 1+2 plus the candidate-block mask. Returns
     (suf (nb,Q) x3, cand_block (nb,) bool, n_cand_blocks)."""
     P = text.shape[0]
     K = block
     nb = P // K
     cls_kb, pos_kb, _startsb, _ctx = _views(ct, text, n, block)
-    summaries = phase1_summaries(ct, cls_kb, pos_kb, n)
+    if use_pallas:
+        from ..kernels import dfa_pallas
+
+        summaries = dfa_pallas.phase1_pallas(
+            ct.packed, ct.n_classes, cls_kb, n, K=K
+        )
+    else:
+        summaries = phase1_summaries(ct, cls_kb, pos_kb, n)
     suf = suffix_scan(summaries, eot_seed(ct, n))
     is_cand = (ct.ff_class[cls_kb] > 0) & (pos_kb < n)      # (K, nb)
     cand_block = jnp.any(is_cand, axis=0)                   # (nb,)
@@ -415,10 +425,12 @@ def ff_phase12(ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK):
     return suf, cand_block, jnp.sum(cand_block, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "cap"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "cap", "use_pallas")
+)
 def ff_phase3(
     ct: DeviceTables, text, n, suf, cand_block,
-    *, block: int = DEFAULT_BLOCK, cap: int = 1,
+    *, block: int = DEFAULT_BLOCK, cap: int = 1, use_pallas: bool = False,
 ):
     """Phase 3 restricted to candidate blocks, scattered back to (P+1,)."""
     P = text.shape[0]
@@ -433,7 +445,15 @@ def ff_phase3(
     starts_c = startsb[:, safe]
     suf_c = tuple(x[safe] for x in suf)
 
-    L_c, I_c = phase3_emit(ct, suf_c, cls_c, pos_c, starts_c, n)
+    if use_pallas:
+        from ..kernels import dfa_pallas
+
+        L_c, I_c = dfa_pallas.phase3_pallas(
+            ct.packed, ct.n_classes, suf_c, cls_c, starts_c, n,
+            posbase=pos_c[0], K=K,
+        )
+    else:
+        L_c, I_c = phase3_emit(ct, suf_c, cls_c, pos_c, starts_c, n)
     L2 = jnp.full((nb, K), -1, dtype=jnp.int32)
     I2 = jnp.full((nb, K), -1, dtype=jnp.int32)
     L2 = L2.at[idx].set(L_c.reshape(cap, K), mode="drop")
@@ -462,21 +482,31 @@ def _bucket_cap(c: int, lo: int = 16) -> int:
 def l_arrays_device_ff(
     ct: DeviceTables, text, n, *, block: int = DEFAULT_BLOCK,
     min_skip_fraction: float = 0.25, force: bool = False,
+    pallas: bool = False,
 ):
     """Host-orchestrated FF execution: run phase 3 on candidate blocks only.
 
     Falls back to the single-program path when filtering would skip less
     than `min_skip_fraction` of blocks (unless `force`, the rejit force_ff
-    analog)."""
+    analog). With `pallas`, byte-stepping phases run as fused kernels."""
+    from ..kernels.dfa_pallas import CHUNK
+
     P = text.shape[0]
     nb = P // block
-    suf, cand_block, n_cand = ff_phase12(ct, text, n, block=block)
+    pallas = pallas and nb % CHUNK == 0
+    suf, cand_block, n_cand = ff_phase12(
+        ct, text, n, block=block, use_pallas=pallas
+    )
     c = int(n_cand)
     if not force and c >= nb * (1.0 - min_skip_fraction):
+        if pallas:
+            return l_arrays_device_pallas(ct, text, n, block=block)
         return l_arrays_device(ct, text, n, block=block)
     cap = min(_bucket_cap(c), nb)
+    use_pallas = pallas and cap % CHUNK == 0
     return ff_phase3(
-        ct, text, n, suf, cand_block, block=block, cap=cap
+        ct, text, n, suf, cand_block, block=block, cap=cap,
+        use_pallas=use_pallas,
     )
 
 

@@ -21,14 +21,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 512  # block-columns per grid step
+CHUNK = 1024  # block-columns per grid step
+
+
+LANE = 128
+
+
+def _table_gather(tab_row, idx):
+    """val[r, l] = table[idx[r, l]] within Mosaic's gather limits.
+
+    tpu.dynamic_gather needs (a) indices and operand of identical shape and
+    (b) the operand to span a single vreg (<=128 lanes) along the gathered
+    dimension. So: table segments of 128 entries, indices processed in
+    128-lane column chunks, segment results merged with selects. Tables with
+    Q*C <= 128 (every conformance pattern) use exactly one gather per chunk.
+    """
+    rows, ch = idx.shape
+    QC = tab_row.shape[1]
+    nseg = -(-QC // LANE)
+    pad = nseg * LANE - QC
+    if pad:
+        tab_row = jnp.concatenate(
+            [tab_row, jnp.zeros((1, pad), jnp.int32)], axis=1
+        )
+    out_chunks = []
+    for c0 in range(0, ch, LANE):
+        idx_c = idx[:, c0 : c0 + LANE]
+        val = None
+        for seg in range(nseg):
+            tab_b = jnp.broadcast_to(
+                tab_row[:, seg * LANE : (seg + 1) * LANE], (rows, LANE)
+            )
+            rel = idx_c - seg * LANE
+            safe = jnp.clip(rel, 0, LANE - 1)
+            g = jnp.take_along_axis(tab_b, safe, axis=-1)
+            if val is None:
+                val = g
+            else:
+                val = jnp.where(rel >= 0, g, val)
+        out_chunks.append(val)
+    return jnp.concatenate(out_chunks, axis=1)
 
 
 def _p1_kernel(n_ref, tab_ref, cls_ref, f_ref, m_ref, i_ref, *, K, Q, C):
     ch = cls_ref.shape[1]
     i = pl.program_id(0)
     n = n_ref[0]
-    tab = jnp.broadcast_to(tab_ref[:], (Q, Q * C))
+    tab = tab_ref[:]                                    # (1, Q*C)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
     base = (i * ch + col) * K                           # (1, ch) block base
 
@@ -41,7 +80,7 @@ def _p1_kernel(n_ref, tab_ref, cls_ref, f_ref, m_ref, i_ref, *, K, Q, C):
         c = cls_ref[k, :][None, :]                      # (1, ch)
         pos = base + k
         valid = pos < n                                  # (1, ch)
-        val = jnp.take_along_axis(tab, S * C + c, axis=-1)
+        val = _table_gather(tab, S * C + c)
         acc = (val & 255) - 1
         hit = valid & (acc >= 0)
         m = jnp.where(hit, pos, m)
@@ -93,16 +132,15 @@ def phase1_pallas(
 
 
 def _p3_kernel(
-    n_ref, tab_ref, cls_ref, starts_ref, sf_ref, sm_ref, si_ref,
+    n_ref, tab_ref, posbase_ref, cls_ref, starts_ref, sm_ref, si_ref,
     L_ref, I_ref, *, K, Q, C,
 ):
     ch = cls_ref.shape[1]
-    i = pl.program_id(0)
     n = n_ref[0]
-    tab = jnp.broadcast_to(tab_ref[:], (K, Q * C))
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+    tab = tab_ref[:]                                    # (1, Q*C)
     rows = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    base = (i * ch + col) * K + rows                    # (K, ch) boundary pos
+    # Explicit per-block byte offsets (supports gathered candidate blocks).
+    base = posbase_ref[:] + rows                        # (K, ch) boundary pos
 
     cls = cls_ref[:]                                    # (K, ch)
     zpad = jnp.zeros((K, ch), dtype=jnp.int32)
@@ -114,7 +152,7 @@ def _p3_kernel(
         c_j = jnp.concatenate([cls[j:], zpad[:j]], axis=0) if j else cls
         pos = base + j
         active = (rows + j < K) & (pos < n)
-        val = jnp.take_along_axis(tab, S * C + c_j, axis=-1)
+        val = _table_gather(tab, S * C + c_j)
         acc = (val & 255) - 1
         hit = active & (acc >= 0)
         m = jnp.where(hit, pos, m)
@@ -141,20 +179,24 @@ def phase3_pallas(
     cls_kb: jnp.ndarray,
     startsb: jnp.ndarray,
     n: jnp.ndarray,
+    posbase=None,
     *,
     K: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) of shape (nb*K,) boundary-ordered — fused phase-3 emission.
 
-    suf: (f, m, i) each (nb, Q) exclusive suffixes (f unused: deadness is
-    encoded in m/i already)."""
+    suf: (f, m, i) each (nb, Q) exclusive suffixes (f is not needed:
+    deadness is already encoded in m/i). posbase: (nb,) byte offset of each
+    block (defaults to contiguous b*K; the FF path passes gathered bases)."""
     Kk, nb = cls_kb.shape
     assert Kk == K and nb % CHUNK == 0
     C = n_classes
     Q = packed.shape[0] // C
     grid = (nb // CHUNK,)
     nlim = jnp.asarray([n], dtype=jnp.int32)
+    if posbase is None:
+        posbase = jnp.arange(nb, dtype=jnp.int32) * K
     _, m_suf, i_suf = suf
     L, I = pl.pallas_call(
         functools.partial(_p3_kernel, K=K, Q=Q, C=C),
@@ -166,9 +208,9 @@ def phase3_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Q * C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -180,9 +222,9 @@ def phase3_pallas(
     )(
         nlim,
         packed.reshape(1, Q * C),
+        posbase[None, :],
         cls_kb,
         startsb,
-        suf[0].T,   # (Q, nb) — unused but keeps specs uniform
         m_suf.T,
         i_suf.T,
     )
