@@ -162,7 +162,11 @@ class Pattern:
             )
         if use_pallas:
             return pipeline.l_arrays_device_pallas(
-                self.ct, jnp.asarray(pad), jnp.int32(n), block=block
+                self.ct,
+                jnp.asarray(pad),
+                jnp.int32(n),
+                block=block,
+                interpret=self.config.interpret,
             )
         return pipeline.l_arrays_device(
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
