@@ -41,7 +41,8 @@ def _identity_summary(Q: int):
     )
 
 
-def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards):
+def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards,
+                    use_pallas=False, interpret=False):
     """Runs inside shard_map. text_sh: (S,) local shard bytes."""
     S = text_sh.shape[0]
     K = block
@@ -72,7 +73,14 @@ def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards):
     startsb = pipeline.block_views(starts, nb, K)
 
     # Local block summaries + local shard reduction.
-    f1, m1, i1 = pipeline.phase1_summaries(ct, clsb, posb, n)
+    if use_pallas:
+        from ..kernels import dfa_pallas
+
+        f1, m1, i1 = dfa_pallas.phase1_pallas(
+            ct.packed, ct.n_classes, clsb, n, K=K, interpret=interpret
+        )
+    else:
+        f1, m1, i1 = pipeline.phase1_summaries(ct, clsb, posb, n)
     Q = ct.n_states
     loc_suf = pipeline.suffix_scan((f1, m1, i1), _identity_summary(Q))
     shard_sum = pipeline.combine(
@@ -90,7 +98,15 @@ def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards):
 
     # Local suffix including the cross-shard tail, then emission.
     suf = pipeline.suffix_scan((f1, m1, i1), my_tail)
-    L, I = pipeline.phase3_emit(ct, suf, clsb, posb, startsb, n)
+    if use_pallas:
+        from ..kernels import dfa_pallas
+
+        L, I = dfa_pallas.phase3_pallas(
+            ct.packed, ct.n_classes, suf, clsb, startsb, n,
+            posbase=posb[0], K=K, interpret=interpret,
+        )
+    else:
+        L, I = pipeline.phase3_emit(ct, suf, clsb, posb, startsb, n)
 
     # Mask boundaries > n (global padding area).
     bidx = offset + jnp.arange(S, dtype=jnp.int32)
@@ -100,7 +116,10 @@ def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "axis", "num_shards", "mesh")
+    jax.jit,
+    static_argnames=(
+        "block", "axis", "num_shards", "mesh", "use_pallas", "interpret"
+    ),
 )
 def sharded_l_arrays_device(
     ct: DeviceTables,
@@ -111,16 +130,22 @@ def sharded_l_arrays_device(
     block: int = 32,
     axis: str = "data",
     num_shards: int = 1,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """(L, I) for a corpus sharded over `axis`. text_sharded: (P,) uint8 with
     P a multiple of num_shards*block and P > n (so every real boundary incl.
-    n is emitted by some shard). Output is sharded the same way."""
+    n is emitted by some shard). Output is sharded the same way.
+    use_pallas runs the fused byte-stepping kernels per shard (shard size
+    must be a multiple of block*dfa_pallas.CHUNK)."""
     fn = jax.shard_map(
         functools.partial(
             _local_shard_fn,
             block=block,
             axis=axis,
             num_shards=num_shards,
+            use_pallas=use_pallas,
+            interpret=interpret,
         ),
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
@@ -137,6 +162,8 @@ def sharded_l_arrays(
     *,
     block: int = 32,
     axis: str = "data",
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: shard + pad a host text, run, trim to n+1."""
     ct = (
@@ -147,6 +174,10 @@ def sharded_l_arrays(
     D = mesh.devices.size
     n = len(text)
     chunk = D * block
+    if use_pallas:
+        from ..kernels.dfa_pallas import CHUNK
+
+        chunk = D * block * CHUNK
     Pld = ((n + 1 + chunk - 1) // chunk) * chunk   # P > n strictly
     pad = np.zeros(Pld, dtype=np.uint8)
     pad[:n] = text
@@ -160,5 +191,26 @@ def sharded_l_arrays(
         block=block,
         axis=axis,
         num_shards=D,
+        use_pallas=use_pallas,
+        interpret=interpret,
     )
     return np.asarray(L)[: n + 1], np.asarray(I)[: n + 1]
+
+
+def sharded_match_all(
+    tables, text: np.ndarray, mesh: Mesh, *, block: int = 32, **kw
+):
+    """Sharded MatchAll: exact cross-shard L + host selection.
+
+    Returns (starts, ends, pids) numpy arrays."""
+    from ..engine import select
+
+    L, I = sharded_l_arrays(tables, text, mesh, block=block, **kw)
+    pos = np.flatnonzero(L >= 0).astype(np.int64)
+    return select.match_all_candidates(pos, L[pos], I[pos])
+
+
+def sharded_match_count(
+    tables, text: np.ndarray, mesh: Mesh, *, block: int = 32, **kw
+) -> int:
+    return len(sharded_match_all(tables, text, mesh, block=block, **kw)[0])

@@ -105,3 +105,31 @@ def test_multi_pattern_sharded():
 def _compact(L, I):
     pos = np.flatnonzero(L >= 0).astype(np.int64)
     return pos, L[pos], I[pos]
+
+
+def test_sharded_pallas_interpret_equals_jnp():
+    from rejit_tpu.kernels.dfa_pallas import CHUNK
+
+    mesh = make_mesh()
+    t = _tables(rb"\w+ing\b")
+    text = (b"hay winging needle sing " * 40)[: 30 * 8 * 4]
+    arr = np.frombuffer(text, dtype=np.uint8)
+    L1, I1 = sharded_l_arrays(t, arr, mesh, block=4)
+    L2, I2 = sharded_l_arrays(
+        t, arr, mesh, block=4, use_pallas=True, interpret=True
+    )
+    np.testing.assert_array_equal(L1, L2)
+    np.testing.assert_array_equal(I1, I2)
+
+
+def test_sharded_match_all_api():
+    from rejit_tpu.dist.sharded import sharded_match_all
+    from rejit_tpu import oracle
+
+    mesh = make_mesh()
+    t = _tables(rb"[a-z]+")
+    text = b"Make it SO, number one."
+    starts, ends, _ = sharded_match_all(t, np.frombuffer(text, np.uint8), mesh, block=4)
+    assert list(zip(starts.tolist(), ends.tolist())) == oracle.match_all(
+        rb"[a-z]+", text
+    )
