@@ -1,0 +1,20 @@
+# Convenience targets (build system parity: reference used SCons — SURVEY.md §2.1/C9)
+.PHONY: test native bench bench-matrix conformance clean
+
+test:
+	python -m pytest tests/ -x -q
+
+native:
+	python -m rejit_tpu.native.build
+
+bench:
+	python bench.py
+
+bench-matrix:
+	python bench/harness.py --configs 1,2,3,4,5
+
+conformance:
+	python tools/gen_conformance.py && python -m pytest tests/conformance -q
+
+clean:
+	rm -rf rejit_tpu/native/*.so .pytest_cache $(find . -name __pycache__)

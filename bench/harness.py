@@ -138,7 +138,7 @@ def run_configs(size_mb: float, which):
         D = mesh.devices.size
         corpus = make_corpus(size, seed=4, needle=b"packet", density=0.002)
         n = len(corpus)
-        block = 256
+        block = 32
         chunk = D * block
         P = ((n + 1 + chunk - 1) // chunk) * chunk
         pad = np.zeros(P, dtype=np.uint8)
@@ -155,10 +155,29 @@ def run_configs(size_mb: float, which):
     return results
 
 
+def compare_python_re(size_mb: float):
+    import re
+    import time as _t
+
+    from bench.corpus import make_corpus
+
+    size = int(size_mb * 1024 * 1024)
+    corpus = make_corpus(size, seed=0, needle=b"packet", density=0.002)
+    for pat in (rb"packet", rb"[a-z]+", rb"\b\w+ing\b"):
+        rx = re.compile(pat)
+        t0 = _t.perf_counter()
+        cnt = sum(1 for _ in rx.finditer(corpus))
+        dt = _t.perf_counter() - t0
+        log(
+            f"python-re {pat.decode()}: {dt*1e3:.1f} ms -> "
+            f"{size/dt/1e9:.3f} GB/s ({cnt} matches)"
+        )
+
+
 def _dfa_cfg():
     from rejit_tpu import Config
 
-    return Config(engine="dfa", block_size=256)
+    return Config(engine="dfa", block_size=32)
 
 
 def _dfa_fn(p, text, jax, jnp):
@@ -181,8 +200,16 @@ def main():
     ap.add_argument("--size", type=float, default=10.0, help="corpus MB")
     ap.add_argument("--json", default=None)
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument(
+        "--compare-re",
+        action="store_true",
+        help="also time Python re (the in-environment reference engine; "
+        "engine-vs-engine parity with rejit's RE2/PCRE/V8 harness)",
+    )
     args = ap.parse_args()
     which = {int(x) for x in args.configs.split(",")}
+    if args.compare_re:
+        compare_python_re(args.size)
     results = run_configs(args.size, which)
     if args.json:
         with open(args.json, "w") as f:
