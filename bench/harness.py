@@ -96,8 +96,10 @@ def run_configs(size_mb: float, which):
         text = np.frombuffer(corpus, dtype=np.uint8)
         for pat in ("[a-z]+", "foo|bar|baz"):
             p = Pattern(pat, _dfa_cfg())
-            L_fn = _dfa_fn(p, text, jax, jnp)
-            report(f"config2_dfa_{pat}", tmed(L_fn), n, f"Q={p.tables.n_states}")
+            report(f"config2_dfa_{pat}", tmed(_dfa_fn(p, text, jax, jnp)), n,
+                   f"Q={p.tables.n_states}")
+            report(f"config2_pal_{pat}",
+                   tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
 
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
@@ -105,8 +107,10 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
-        L_fn = _dfa_fn(p, text, jax, jnp)
-        report("config3_dfa_wb_ing", tmed(L_fn), n, f"Q={p.tables.n_states}")
+        report("config3_dfa_wb_ing", tmed(_dfa_fn(p, text, jax, jnp)), n,
+               f"Q={p.tables.n_states}")
+        report("config3_pal_wb_ing",
+               tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
 
     # ---- config 4: tokenizer multi-pattern -----------------------------
     if 4 in which:
@@ -114,8 +118,10 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
-        L_fn = _dfa_fn(p, text, jax, jnp)
-        report("config4_tokenizer_L", tmed(L_fn), n, f"Q={p.tables.n_states}")
+        report("config4_tokenizer_L", tmed(_dfa_fn(p, text, jax, jnp)), n,
+               f"Q={p.tables.n_states}")
+        report("config4_pal_tokenizer",
+               tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
         # end-to-end spans incl. host transfer + selection (1 MB: the span
         # list is dense, ~1 token/3 bytes; see engine/select_device for the
         # device-resident path)
@@ -180,16 +186,22 @@ def _dfa_cfg():
     return Config(engine="dfa", block_size=32)
 
 
-def _dfa_fn(p, text, jax, jnp):
+def _dfa_fn(p, text, jax, jnp, pallas=False):
     n = len(text)
     block = p.config.block_size
-    P = ((n + block - 1) // block) * block
+    from rejit_tpu.engine import pipeline
+    from rejit_tpu.kernels.dfa_pallas import CHUNK
+
+    gran = block * CHUNK if pallas else block
+    P = ((n + gran - 1) // gran) * gran
     pad = np.zeros(P, dtype=np.uint8)
     pad[:n] = text
-    from rejit_tpu.engine import pipeline
-
     text_dev = jax.device_put(jnp.asarray(pad))
     n_dev = jnp.int32(n)
+    if pallas:
+        return lambda: pipeline.l_arrays_device_pallas(
+            p.ct, text_dev, n_dev, block=block
+        )[0]
     return lambda: pipeline.l_arrays_device(
         p.ct, text_dev, n_dev, block=block
     )[0]
