@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     ap.add_argument("-q", action="store_true", dest="quiet")
     ap.add_argument("--count-matches", action="store_true")
     ap.add_argument("--engine", default=None)
+    ap.add_argument(
+        "--mmap", action="store_true",
+        help="memory-map files instead of reading (large corpora)",
+    )
     ap.add_argument("pattern")
     ap.add_argument("files", nargs="+")
     args = ap.parse_args(argv)
@@ -82,12 +86,16 @@ def main(argv=None) -> int:
     multi = len(list(iter_files(args.files, args.recurse))) > 1
     for path in iter_files(args.files, args.recurse):
         try:
-            with open(path, "rb") as f:
-                data = f.read()
+            if args.mmap:
+                text = np.memmap(path, dtype=np.uint8, mode="r")
+                data = None
+            else:
+                with open(path, "rb") as f:
+                    data = f.read()
+                text = np.frombuffer(data, dtype=np.uint8)
         except OSError as e:
             print(f"jrep: {path}: {e}", file=sys.stderr)
             continue
-        text = np.frombuffer(data, dtype=np.uint8)
         if args.count_matches:
             cnt = pat.match_all_count(text)
             any_match |= cnt > 0
@@ -107,6 +115,8 @@ def main(argv=None) -> int:
         if args.count_lines:
             print(f"{path}:{len(uniq)}" if multi else len(uniq))
             continue
+        if data is None:
+            data = text.tobytes()
         for k in uniq:
             line = data[lo[k] : hi[k]].decode("utf-8", "replace")
             prefix = f"{path}:" if multi else ""
