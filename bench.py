@@ -77,11 +77,9 @@ def measure_child() -> dict:
         r = fn()
         r.block_until_ready()
         probe.append(time.perf_counter() - a)
-    if min(probe) > 0.01:  # 10 MB in >10 ms => not TPU-class execution
-        log(f"slow-mode window detected ({min(probe)*1e3:.1f} ms), aborting")
-        sys.exit(3)
+    slow_mode = min(probe) > 0.01  # 10 MB in >10 ms => not TPU-class
 
-    best = None
+    best = min(probe)
     for rnd in range(3):
         times = []
         for _ in range(5):
@@ -91,8 +89,12 @@ def measure_child() -> dict:
             times.append(time.perf_counter() - a)
         med = statistics.median(times)
         log(f"round {rnd}: median {med*1e3:.3f} ms")
-        best = med if best is None else min(best, med)
+        best = min(best, med)
     bps = n / best
+    if slow_mode and best > 0.01:
+        # Print the JSON (the parent may use it as a fallback) but signal
+        # that this window was degraded so the parent retries for a fast one.
+        log("slow-mode window: reporting fallback number, rc=3")
 
     # Secondary: span-producing MatchAll via the public API (steady state).
     p.match_all_arrays(text)  # warm
@@ -114,6 +116,8 @@ def measure_child() -> dict:
             }
         )
     )
+    if slow_mode and best > 0.01:
+        sys.exit(3)
     return {}
 
 
@@ -122,9 +126,11 @@ def main():
         measure_child()
         return
 
-    # Watchdog + retry orchestration: the axon tunnel can stall for minutes;
-    # a fresh process/connection usually recovers.
-    attempts = 6
+    # Watchdog + retry orchestration: the axon tunnel can stall for minutes
+    # and degrades to a ~1000x-slower mode in windows; retry for a fast
+    # window, keeping the best degraded number as a fallback.
+    attempts = 8
+    fallback = None
     for k in range(attempts):
         try:
             out = subprocess.run(
@@ -145,9 +151,18 @@ def main():
         if out.returncode == 0 and lines:
             print(lines[-1])
             return
+        if out.returncode == 3 and lines:
+            cand = json.loads(lines[-1])
+            if fallback is None or cand["value"] > fallback["value"]:
+                fallback = cand
         log(f"attempt {k}: child failed rc={out.returncode}")
-        time.sleep(20)
-    # All attempts failed: report honestly.
+        time.sleep(30)
+    # No fast window appeared: report the best degraded-window number
+    # (honest lower bound), or zero if nothing ran at all.
+    if fallback is not None:
+        log("no fast window; reporting best degraded-window measurement")
+        print(json.dumps(fallback))
+        return
     print(
         json.dumps(
             {
