@@ -8,8 +8,8 @@ is its numpy validation):
 
   phase 1  per-block forward (f, m, i) summaries: f = end state per start
            state, m/i = last accepting boundary + pattern id
-  phase 2  jax.lax.associative_scan (reverse) composing block summaries —
-           the "simultaneous DFA" construction (PAPERS.md:8,:9)
+  phase 2  doubling scan composing block summaries — the "simultaneous
+           DFA" construction (PAPERS.md:8,:9)
   phase 3  per-position forward threads (one per boundary) run to their
            block end, then splice the block's suffix summary, emitting
            L[s] = longest match end from s and I[s] = pattern id
@@ -138,7 +138,7 @@ def suffix_scan(summaries, tail):
     exclusive suffixes, each (nb, Q).
 
     Implemented as a manual Hillis-Steele doubling scan: S[j] ⊕= S[j+d] for
-    d = 1,2,4,... with identity padding. jax.lax.associative_scan's Blelchan
+    d = 1,2,4,... with identity padding. jax.lax.associative_scan's Blelloch
     -style lowering produced multi-minute XLA compiles at large nb; this
     form is log2(nb) simple shift+combine levels and compiles fast."""
     f, m, i = summaries
