@@ -22,6 +22,7 @@ from .compile import ir as ir_mod
 from .compile.dfa import compile_patterns
 from .config import Config, DEFAULT
 from .engine import pipeline, select, select_device, spans
+from .kernels import classrun as classrun_kernel
 from .kernels import literal as literal_kernel
 from .utils.stats import MatchStats, Timer
 
@@ -83,6 +84,13 @@ class Pattern:
         self.ct = None
         self._oracle = None
         self.last_stats: MatchStats = MatchStats()
+        if self.engine == "classrun":
+            bitmap, lo, hi = classrun_kernel.detect(self.irs[0])
+            self._classrun = (
+                jnp.asarray(classrun_kernel.member_lut(bitmap)),
+                lo,
+                hi,
+            )
         if self.engine == "dfa":
             self.tables = None
             if config.disk_cache:
@@ -122,6 +130,8 @@ class Pattern:
             return cfg.engine
         if self.info.literals:
             return "literal"
+        if len(self.irs) == 1 and classrun_kernel.detect(self.irs[0]):
+            return "classrun"
         return "dfa"
 
     # -- internals ----------------------------------------------------------
@@ -129,6 +139,19 @@ class Pattern:
     def _l_i_device(self, text: np.ndarray):
         """Compute (L, I) device arrays (length P+1, -1 past n) for `text`."""
         n = len(text)
+        if self.engine == "classrun":
+            lut, lo, hi = self._classrun
+            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            return classrun_kernel.classrun_l_arrays_device(
+                lut,
+                jnp.asarray(pad),
+                jnp.int32(n),
+                lo=lo,
+                has_hi=hi is not None,
+                hi=hi if hi is not None else 0,
+            )
         if self.engine == "literal":
             max_m = max(len(l) for l in self.info.literals)
             P = _bucket_blocks(max(1, -(-n // 1024))) * 1024

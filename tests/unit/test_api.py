@@ -41,7 +41,8 @@ def test_pattern_vs_oracle(pat, _):
 def test_engine_selection():
     assert Pattern("foo").engine == "literal"
     assert Pattern("foo|bar").engine == "literal"
-    assert Pattern("[a-z]+").engine == "dfa"
+    assert Pattern("[a-z]+").engine == "classrun"
+    assert Pattern(r"\w+ing\b").engine == "dfa"
     assert Pattern("foo", Config(engine="dfa")).engine == "dfa"
     assert Pattern("foo", Config(engine="oracle")).engine == "oracle"
 
