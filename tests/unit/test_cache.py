@@ -46,7 +46,7 @@ def test_stats_populated():
     p = Pattern(r"[a-z]+")
     p.match_all(b"some words here")
     s = p.last_stats
-    assert s.engine == "dfa" and s.op == "match_all"
+    assert s.engine == "classrun" and s.op == "match_all"
     assert s.n_bytes == 15 and s.n_matches == 3
     assert s.total_time_s > 0 and s.bytes_per_sec > 0
     assert "n_candidates" in s.as_dict()
