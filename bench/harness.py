@@ -100,6 +100,21 @@ def run_configs(size_mb: float, which):
                    f"Q={p.tables.n_states}")
             report(f"config2_pal_{pat}",
                    tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
+        # auto engine for [a-z]+ is the classrun fast path
+        pc = Pattern("[a-z]+")
+        assert pc.engine == "classrun"
+        from rejit_tpu.kernels import classrun as crk
+
+        lut, lo, hi = pc._classrun
+        P2 = ((n + 1023) // 1024) * 1024
+        pad2 = np.zeros(P2, dtype=np.uint8)
+        pad2[:n] = text
+        td2 = jax.device_put(jnp.asarray(pad2))
+        nd2 = jnp.int32(n)
+        fn_cr = lambda: crk.classrun_l_arrays_device(
+            lut, td2, nd2, lo=lo, has_hi=hi is not None, hi=hi or 0
+        )[0]
+        report("config2_classrun_[a-z]+", tmed(fn_cr), n)
 
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
