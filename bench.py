@@ -71,11 +71,13 @@ def measure_child() -> dict:
     # Fast-mode gate: the tunneled device periodically degrades to a
     # CPU-class fallback (deterministically ~1000x slower). Reject such
     # windows so the parent retries instead of recording fallback numbers.
+    # Timing includes the int() readback of the scalar result:
+    # block_until_ready has been observed to return before execution
+    # completes on this backend, so only a host readback is trustworthy.
     probe = []
     for _ in range(3):
         a = time.perf_counter()
-        r = fn()
-        r.block_until_ready()
+        int(fn())
         probe.append(time.perf_counter() - a)
     slow_mode = min(probe) > 0.01  # 10 MB in >10 ms => not TPU-class
 
@@ -84,8 +86,7 @@ def measure_child() -> dict:
         times = []
         for _ in range(5):
             a = time.perf_counter()
-            r = fn()
-            r.block_until_ready()
+            int(fn())
             times.append(time.perf_counter() - a)
         med = statistics.median(times)
         log(f"round {rnd}: median {med*1e3:.3f} ms")

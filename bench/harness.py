@@ -25,22 +25,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force(r):
+    """Force materialization on host: block_until_ready has been observed to
+    return early on this backend; a scalar readback cannot lie."""
+    import jax.numpy as jnp
+
+    if hasattr(r, "block_until_ready"):
+        return int(jnp.sum(r.ravel()[:1], dtype=jnp.int32))
+    return r
+
+
 def tmed(fn, iters=5, rounds=3):
-    r = fn()
-    try:
-        r.block_until_ready()
-    except AttributeError:
-        pass
+    _force(fn())
     best = None
     for _ in range(rounds):
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            r = fn()
-            try:
-                r.block_until_ready()
-            except AttributeError:
-                pass
+            _force(fn())
             ts.append(time.perf_counter() - t0)
         med = statistics.median(ts)
         best = med if best is None else min(best, med)
