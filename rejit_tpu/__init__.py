@@ -19,6 +19,7 @@ from .api import (  # noqa: F401
     Pattern,
     Regej,
     Replace,
+    ReplaceAll,
     ReplaceFirst,
     compile,
     match_all,
@@ -27,6 +28,7 @@ from .api import (  # noqa: F401
     match_first,
     match_full,
     replace,
+    replace_all,
     replace_first,
 )
 from .config import Config  # noqa: F401

@@ -372,6 +372,12 @@ def replace_first(pattern, text, repl, config: Config = DEFAULT) -> bytes:
     return compile(pattern, config).replace_first(text, repl)
 
 
+# rejit names the all-spans variant ReplaceAll (rejit:include/rejit.h,
+# unverified recall — SURVEY.md §2.1/C1); `replace` already has those
+# semantics, so alias it for exact naming parity.
+replace_all = replace
+
+
 # CamelCase aliases matching the reference naming.
 MatchFull = match_full
 MatchAnywhere = match_anywhere
@@ -380,4 +386,5 @@ MatchAll = match_all
 MatchAllCount = match_all_count
 Replace = replace
 ReplaceFirst = replace_first
+ReplaceAll = replace_all
 Regej = Pattern

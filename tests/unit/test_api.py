@@ -81,6 +81,8 @@ def test_replace():
     assert rejit_tpu.replace_first("o+", b"foo boo", b"0") == b"f0 boo"
     assert rejit_tpu.replace(r"\s+", "a  b\tc", " ") == b"a b c"
     assert rejit_tpu.replace("x", b"no hits", b"!") == b"no hits"
+    assert rejit_tpu.replace_all("foo", b"a foo b", b"X") == b"a X b"
+    assert rejit_tpu.ReplaceAll("foo", b"a foo b", b"X") == b"a X b"
 
 
 def test_tokenizer_mode():
