@@ -300,6 +300,58 @@ class Pattern:
             return int(cnt)
         return len(self.match_all_arrays(text)[0])
 
+    # -- Streaming API (corpora larger than device memory) ------------------
+
+    def _dfa_tables(self):
+        """DFA tables, compiled on demand (the literal/classrun engines skip
+        table compilation, but streaming always runs the DFA path)."""
+        if self.tables is None:
+            self.tables = compile_patterns(
+                self.irs,
+                max_nfa_states=self.config.max_nfa_states,
+                max_dfa_states=self.config.max_dfa_states,
+            )
+        return self.tables
+
+    @staticmethod
+    def _stream_source(source):
+        import os
+
+        if isinstance(source, (str, os.PathLike)):
+            # str means a file path here (the corpus is by definition too
+            # big to pass as a Python string); bytes/arrays are raw data.
+            return np.memmap(source, dtype=np.uint8, mode="r")
+        return text_to_u8(source)
+
+    def match_all_stream(
+        self,
+        source,
+        *,
+        chunk_bytes: int = 8 << 20,
+        state_dir: Optional[str] = None,
+        progress=None,
+    ):
+        """Exact chunked MatchAll over a huge corpus.
+
+        `source` is a file path (memory-mapped) or a uint8 array; the corpus
+        never needs to fit in device memory. `state_dir` checkpoints
+        per-chunk progress for resume after interruption
+        (engine/stream.py). Returns (starts, ends, pids) int64 arrays.
+        """
+        from .engine import stream
+
+        return stream.stream_match_all(
+            self._dfa_tables(),
+            self._stream_source(source),
+            chunk_bytes=chunk_bytes,
+            block=self.config.block_size,
+            state_dir=state_dir,
+            progress=progress,
+        )
+
+    def match_all_count_stream(self, source, **kw) -> int:
+        return len(self.match_all_stream(source, **kw)[0])
+
     # -- Replace API --------------------------------------------------------
 
     def replace(self, text: TextLike, repl: Union[str, bytes]) -> bytes:

@@ -60,10 +60,16 @@ def match_all_candidates(
         from ..native import lib as _native
     except Exception:  # pragma: no cover
         _native = None
+    fits_i32 = len(pos) == 0 or (
+        int(np.max(end, initial=0)) < 2**31
+        and int(np.max(pos, initial=0)) < 2**31
+    )
     if (
         _native is not None
         and hasattr(_native, "select_candidates")
         and _native.available()
+        and fits_i32  # the C helper takes int32 positions; streaming
+        # corpora >2GB (engine/stream.py) must use the int64 Python path
     ):
         return _native.select_candidates(pos, end, pid)
     starts: List[int] = []

@@ -1,0 +1,288 @@
+"""Streaming (chunked) exact MatchAll with checkpoint/resume.
+
+Capability the reference lacks outright (single pass over an in-memory
+string — SURVEY.md §5.3/§5.4 list "failure detection" and "checkpoint /
+resume" as new-framework subsystems): match a corpus far larger than device
+memory by scanning fixed-size chunks, with per-chunk retry and a state
+directory that lets a killed job resume at the chunk where it stopped.
+
+Chunks are processed from the END of the corpus backward.  Each chunk run is
+seeded with the carried (Q,)-summary `tail` of everything to its right — the
+same state-map algebra the sharded path uses across shards
+(rejit_tpu/dist/sharded.py) — so leftmost-longest spans crossing chunk
+boundaries are exact with no bounded-window assumption.  Per-chunk
+candidates are compacted on device (host transfer is O(#candidates), not
+O(chunk)); the final greedy non-overlap selection runs once over the sparse
+global candidate list.
+
+Positions: device arrays are chunk-local int32 (the engine pins x64 off);
+the host rebase into global int64 happens on candidate/tail arrays, so the
+corpus size is unbounded.  A single match span longer than 2**31-2 bytes
+would clamp — documented limit.
+"""
+from __future__ import annotations
+
+import functools
+import hashlib
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compile.dfa import DFATables, ctx_of_byte
+from . import pipeline, select
+from .pipeline import DeviceTables
+
+_CLAMP = np.int64(2**31 - 2)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def chunk_l_arrays_device(
+    ct: DeviceTables,
+    text: jnp.ndarray,
+    n_local: jnp.ndarray,
+    tail: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    first_start: jnp.ndarray,
+    *,
+    block: int = pipeline.DEFAULT_BLOCK,
+):
+    """(L, I, total) for one chunk, positions chunk-local.
+
+    text: (P,) uint8, P a multiple of `block`; n_local: valid byte count
+    (== P for interior chunks, < P only for the final corpus chunk, whose
+    padding must leave P > n_local so boundary n_local is emitted).
+    tail: (f, m, i) each (Q,) — suffix summary of everything after the
+    chunk, m already rebased to this chunk's coordinates.
+    first_start: start state for boundary 0 (from the byte preceding the
+    chunk, or CTX_BEGIN at corpus start).
+
+    Returns L, I over the chunk's P boundaries (local 0..P-1; boundaries
+    > n_local are -1) and `total`, the (f, m, i) summary of
+    [chunk start, corpus end) in this chunk's coordinates — the tail for
+    the chunk to the left.
+    """
+    P = text.shape[0]
+    K = block
+    nb = P // K
+
+    cls, ctx = pipeline.classify(ct, text)
+    starts = jnp.concatenate(
+        [first_start[None], ct.start_by_ctx[ctx[:-1]]]
+    )
+    pos = jnp.arange(P, dtype=jnp.int32)
+    cls_kb = pipeline.block_views(cls, nb, K)
+    pos_kb = pipeline.block_views(pos, nb, K)
+    startsb = pipeline.block_views(starts, nb, K)
+
+    summ = pipeline.phase1_summaries(ct, cls_kb, pos_kb, n_local)
+    suf = pipeline.suffix_scan(summ, tail)
+    L, I = pipeline.phase3_emit(ct, suf, cls_kb, pos_kb, startsb, n_local)
+    total = pipeline.combine(
+        (summ[0][0], summ[1][0], summ[2][0]),
+        (suf[0][0], suf[1][0], suf[2][0]),
+    )
+
+    L = jnp.where(pos <= n_local, L, -1)
+    I = jnp.where(pos <= n_local, I, -1)
+    return L, I, total
+
+
+def _fingerprint(t: DFATables, n: int, chunk_bytes: int, block: int) -> str:
+    h = hashlib.sha1()
+    for a in (t.class_of, t.next, t.accept, t.accept_eot, t.start_states):
+        h.update(np.ascontiguousarray(a).tobytes())
+    h.update(f"{n}:{chunk_bytes}:{block}".encode())
+    return h.hexdigest()
+
+
+class _State:
+    """Checkpoint directory: meta.json + tail.npz + cands_<i>.npz."""
+
+    def __init__(self, path: Optional[str], fp: str, nc: int):
+        self.path = path
+        self.fp = fp
+        self.nc = nc
+        self.mem = {}  # chunk -> (pos, end, pid) when no state_dir
+        if path:
+            os.makedirs(path, exist_ok=True)
+
+    def load(self):
+        """-> (next_chunk, tail_global) or None if absent/mismatched."""
+        if not self.path:
+            return None
+        meta_p = os.path.join(self.path, "meta.json")
+        if not os.path.exists(meta_p):
+            return None
+        try:
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") != self.fp:
+                return None
+            z = np.load(os.path.join(self.path, "tail.npz"))
+            return int(meta["next_chunk"]), (z["f"], z["m"], z["i"])
+        except Exception:
+            return None
+
+    def save(self, next_chunk: int, tail_global) -> None:
+        if not self.path:
+            return
+        f, m, i = tail_global
+        np.savez(os.path.join(self.path, "tail.npz"), f=f, m=m, i=i)
+        tmp = os.path.join(self.path, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"fingerprint": self.fp, "next_chunk": next_chunk}, fh)
+        os.replace(tmp, os.path.join(self.path, "meta.json"))
+
+    def save_cands(self, i: int, pos, end, pid) -> None:
+        if not self.path:
+            return
+        np.savez(
+            os.path.join(self.path, f"cands_{i}.npz"),
+            pos=pos, end=end, pid=pid,
+        )
+
+    def load_cands(self, i: int):
+        z = np.load(os.path.join(self.path, f"cands_{i}.npz"))
+        return z["pos"], z["end"], z["pid"]
+
+
+def stream_candidates(
+    tables: DFATables,
+    source,
+    *,
+    chunk_bytes: int = 8 << 20,
+    block: int = pipeline.DEFAULT_BLOCK,
+    state_dir: Optional[str] = None,
+    retries: int = 3,
+    progress=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global candidate (pos, end, pid) int64 arrays for a huge corpus.
+
+    `source` is a uint8 array-like supporting len() and slicing — an
+    np.memmap over a file works and is the intended use. Candidates are the
+    per-boundary leftmost-longest L-array entries; feed them to
+    select.match_all_candidates for MatchAll semantics (stream_match_all
+    does both).
+    """
+    from . import spans
+
+    assert chunk_bytes % block == 0 and chunk_bytes > 0
+    ct = pipeline.device_tables(tables)
+    Q = tables.n_states
+    n = len(source)
+    C = chunk_bytes
+    nc = max(1, -(-n // C))  # last chunk may be empty-of-full-C but has EOT
+    fp = _fingerprint(tables, n, C, block)
+    state = _State(state_dir, fp, nc)
+
+    # Tail in GLOBAL int64 coordinates (host side).
+    tail_global = (
+        np.arange(Q, dtype=np.int64),
+        np.where(np.asarray(tables.accept_eot) >= 0, np.int64(n), -1),
+        np.asarray(tables.accept_eot, dtype=np.int64),
+    )
+    start_chunk = nc - 1
+    resumed = state.load()
+    if resumed is not None:
+        start_chunk, tail_global = resumed
+        if start_chunk < 0:
+            return _collect(state, nc)
+
+    for i in range(start_chunk, -1, -1):
+        a = i * C
+        b = min(n, a + C)
+        n_local = b - a
+        if i == nc - 1:
+            P = (n_local // block + 1) * block  # strictly > n_local
+        else:
+            P = C
+        buf = np.zeros(P, dtype=np.uint8)
+        buf[:n_local] = np.asarray(source[a:b], dtype=np.uint8)
+
+        # Rebase tail into chunk coordinates (clamped — see module doc).
+        tm = tail_global[1]
+        m_local = np.where(
+            tm >= 0, np.minimum(tm - a, _CLAMP), np.int64(-1)
+        ).astype(np.int32)
+        tail_dev = (
+            jnp.asarray(tail_global[0].astype(np.int32)),
+            jnp.asarray(m_local),
+            jnp.asarray(tail_global[2].astype(np.int32)),
+        )
+        if a == 0:
+            first_start = int(tables.start_states[0])  # CTX_BEGIN
+        else:
+            first_start = int(
+                tables.start_states[ctx_of_byte(int(source[a - 1]))]
+            )
+
+        err = None
+        for attempt in range(retries):
+            try:
+                L, I, total = chunk_l_arrays_device(
+                    ct,
+                    jnp.asarray(buf),
+                    jnp.int32(n_local),
+                    tail_dev,
+                    jnp.int32(first_start),
+                    block=block,
+                )
+                pos, end, pid = spans.candidates_host(L, I)
+                tf, tm_, ti = (np.asarray(x) for x in total)
+                break
+            except Exception as e:  # pragma: no cover - tunnel flakiness
+                err = e
+        else:  # pragma: no cover
+            raise RuntimeError(
+                f"chunk {i} failed after {retries} attempts"
+            ) from err
+
+        # Rebase outputs to global coordinates.
+        pos_g = pos.astype(np.int64) + a
+        end_g = end.astype(np.int64) + a
+        tail_global = (
+            tf.astype(np.int64),
+            np.where(tm_ >= 0, tm_.astype(np.int64) + a, np.int64(-1)),
+            ti.astype(np.int64),
+        )
+        if state.path:
+            state.save_cands(i, pos_g, end_g, pid)
+            state.save(i - 1, tail_global)
+        else:
+            state.mem[i] = (pos_g, end_g, pid)
+        if progress is not None:
+            progress(i, nc)
+
+    return _collect(state, nc)
+
+
+def _collect(state: _State, nc: int):
+    ps, es, ids = [], [], []
+    for i in range(nc):
+        if state.path:
+            p, e, d = state.load_cands(i)
+        else:
+            p, e, d = state.mem[i]
+        ps.append(p)
+        es.append(e)
+        ids.append(d)
+    return (
+        np.concatenate(ps) if ps else np.zeros(0, np.int64),
+        np.concatenate(es) if es else np.zeros(0, np.int64),
+        np.concatenate(ids) if ids else np.zeros(0, np.int64),
+    )
+
+
+def stream_match_all(
+    tables: DFATables, source, **kw
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-overlapping leftmost-longest (starts, ends, pids) over `source`."""
+    pos, end, pid = stream_candidates(tables, source, **kw)
+    return select.match_all_candidates(pos, end, pid)
+
+
+def stream_match_count(tables: DFATables, source, **kw) -> int:
+    return len(stream_match_all(tables, source, **kw)[0])

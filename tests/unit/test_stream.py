@@ -1,0 +1,136 @@
+"""Streaming (chunked, checkpoint/resume) engine tests.
+
+Differential against the in-memory engine/oracle, with chunk sizes chosen so
+matches straddle chunk boundaries (the carried-tail algebra must make those
+exact), plus interrupt/resume through the state directory.
+"""
+import numpy as np
+import pytest
+
+import rejit_tpu
+from rejit_tpu.engine import stream
+
+
+def _spans(p, data):
+    return [tuple(x) for x in zip(*p.match_all_arrays(np.frombuffer(data, np.uint8)))]
+
+
+def _stream_spans(p, data, **kw):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    s, e, i = p.match_all_stream(arr, **kw)
+    return list(zip(s.tolist(), e.tolist(), i.tolist()))
+
+
+def test_stream_equals_matchall_across_chunks():
+    rng = np.random.default_rng(7)
+    words = [b"sing", b"winging", b"thing", b"xyzzy", b"ringing", b"bob"]
+    data = b" ".join(words[i] for i in rng.integers(0, len(words), 4000))
+    p = rejit_tpu.Pattern(r"\b\w+ing\b")
+    assert _stream_spans(p, data, chunk_bytes=1024) == _spans(p, data)
+
+
+def test_stream_span_longer_than_chunk():
+    # One match spans several whole chunks: unbounded quantifier exactness.
+    data = b"x" * 100 + b"a" * 5000 + b"b" + b"y" * 300 + b"ab" + b"z" * 50
+    p = rejit_tpu.Pattern(r"a+b")
+    got = _stream_spans(p, data, chunk_bytes=1024)
+    assert got == _spans(p, data)
+    assert got[0] == (100, 5101, 0)  # the monster span, exact
+
+
+def test_stream_literal_pattern_compiles_tables_on_demand():
+    data = b"no packet here packet and packetpacket end"
+    p = rejit_tpu.Pattern("packet")
+    assert p.engine == "literal" and p.tables is None
+    got = _stream_spans(p, data, chunk_bytes=32)
+    assert got == _spans(p, data)
+    assert p.tables is not None
+
+
+def test_stream_tokenizer_pids():
+    data = (b"hi, there! word " * 500).strip()
+    p = rejit_tpu.Pattern([r"\w+", r"\s+", r"[^\w\s]+"])
+    assert _stream_spans(p, data, chunk_bytes=256) == _spans(p, data)
+
+
+def test_stream_small_and_empty():
+    p = rejit_tpu.Pattern(r"ab*")
+    assert _stream_spans(p, b"", chunk_bytes=64) == []
+    assert _stream_spans(p, b"abbb", chunk_bytes=64) == _spans(p, b"abbb")
+    # n an exact multiple of chunk_bytes (EOT boundary in padded tail).
+    data = (b"ab" * 32)  # 64 bytes
+    assert _stream_spans(p, data, chunk_bytes=64) == _spans(p, data)
+
+
+def test_stream_resume(tmp_path):
+    rng = np.random.default_rng(3)
+    words = [b"sing", b"winging", b"aba", b"ringing", b"q"]
+    data = b" ".join(words[i] for i in rng.integers(0, len(words), 3000))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    p = rejit_tpu.Pattern(r"\b\w+ing\b")
+    sd = str(tmp_path / "state")
+
+    class Stop(Exception):
+        pass
+
+    calls = []
+
+    def bomb(i, nc):
+        calls.append(i)
+        if len(calls) == 3:
+            raise Stop()
+
+    with pytest.raises(Stop):
+        p.match_all_stream(arr, chunk_bytes=512, state_dir=sd, progress=bomb)
+
+    resumed_chunks = []
+    got = p.match_all_stream(
+        arr,
+        chunk_bytes=512,
+        state_dir=sd,
+        progress=lambda i, nc: resumed_chunks.append(i),
+    )
+    # Resume skipped the chunks already done before the interrupt.
+    assert len(resumed_chunks) < len(data) // 512
+    assert set(resumed_chunks).isdisjoint(calls[: len(calls) - 1])
+    want = p.match_all_arrays(arr)
+    assert [tuple(x) for x in zip(*got)] == [tuple(x) for x in zip(*want)]
+
+    # A second call with completed state returns the same result.
+    again = p.match_all_stream(arr, chunk_bytes=512, state_dir=sd)
+    assert [tuple(x) for x in zip(*again)] == [tuple(x) for x in zip(*want)]
+
+
+def test_stream_state_fingerprint_mismatch_restarts(tmp_path):
+    data = b"sing winging thing " * 200
+    arr = np.frombuffer(data, dtype=np.uint8)
+    sd = str(tmp_path / "state")
+    p1 = rejit_tpu.Pattern(r"\b\w+ing\b")
+    p1.match_all_stream(arr, chunk_bytes=512, state_dir=sd)
+    # Different pattern, same state dir: must not reuse stale state.
+    p2 = rejit_tpu.Pattern(r"w\w+g")
+    got = p2.match_all_stream(arr, chunk_bytes=512, state_dir=sd)
+    want = p2.match_all_arrays(arr)
+    assert [tuple(x) for x in zip(*got)] == [tuple(x) for x in zip(*want)]
+
+
+def test_stream_file_path_memmap(tmp_path):
+    data = b"the packet is winging its way; another packet follows"
+    f = tmp_path / "corpus.bin"
+    f.write_bytes(data)
+    p = rejit_tpu.Pattern("packet")
+    got = p.match_all_stream(str(f), chunk_bytes=32)
+    assert [tuple(x) for x in zip(*got)] == _spans(p, data)
+    assert p.match_all_count_stream(str(f), chunk_bytes=32) == 2
+
+
+def test_stream_oracle_differential_random():
+    rng = np.random.default_rng(11)
+    alpha = b"abX "
+    data = bytes(alpha[i] for i in rng.integers(0, 4, 6000))
+    for pat in (r"a+b", r"(a|b)+X", r"\ba\w*"):
+        p = rejit_tpu.Pattern(pat)
+        o = rejit_tpu.Pattern(pat, rejit_tpu.Config(engine="oracle"))
+        got = _stream_spans(p, data, chunk_bytes=256)
+        want = [(s, e, pid) for s, e, pid in o.tokenize(data)]
+        assert got == want, pat
