@@ -66,3 +66,18 @@ def test_no_match_exit_code(tree):
 def test_regex_pattern(tree):
     r = run_jrep(["-n", r"^n\w+", str(tree / "a.txt")])
     assert r.stdout.strip() == "2:needle here"
+
+
+def test_stream_mode(tree, tmp_path_factory):
+    d = tmp_path_factory.mktemp("big")
+    # File spanning several streaming chunks; matches at chunk edges.
+    chunk = 1 << 20  # jrep rounds --stream 1 (MB) to this
+    body = bytearray(b"x" * (2 * chunk + 512))
+    for off in (0, chunk - 3, 2 * chunk):
+        body[off : off + 8] = b"\nneedle\n"
+    (d / "big.txt").write_bytes(bytes(body))
+    r = run_jrep(["--stream", "1", "--count-matches", "needle",
+                  str(d / "big.txt")])
+    assert r.stdout.strip() == "3", r.stderr
+    r = run_jrep(["--stream", "1", "-c", "needle", str(d / "big.txt")])
+    assert r.stdout.strip() == "3", r.stderr

@@ -14,6 +14,9 @@ Usage:
   -q            quiet: exit 0 if any match found
   --count-matches  print total number of matches per file (MatchAllCount)
   --engine=E    force engine (literal|dfa|oracle)
+  --mmap        memory-map files instead of reading
+  --stream[=MB] chunked streaming MatchAll for files larger than device
+                memory (engine/stream.py; exact across chunk boundaries)
 """
 from __future__ import annotations
 
@@ -66,6 +69,11 @@ def main(argv=None) -> int:
         "--mmap", action="store_true",
         help="memory-map files instead of reading (large corpora)",
     )
+    ap.add_argument(
+        "--stream", nargs="?", const=64.0, type=float, metavar="CHUNK_MB",
+        help="chunked streaming MatchAll (files larger than device memory; "
+        "optional chunk size in MB, default 64)",
+    )
     ap.add_argument("pattern")
     ap.add_argument("files", nargs="+")
     args = ap.parse_args(argv)
@@ -86,7 +94,7 @@ def main(argv=None) -> int:
     multi = len(list(iter_files(args.files, args.recurse))) > 1
     for path in iter_files(args.files, args.recurse):
         try:
-            if args.mmap:
+            if args.mmap or args.stream is not None:
                 text = np.memmap(path, dtype=np.uint8, mode="r")
                 data = None
             else:
@@ -96,12 +104,23 @@ def main(argv=None) -> int:
         except OSError as e:
             print(f"jrep: {path}: {e}", file=sys.stderr)
             continue
-        if args.count_matches:
+        if args.stream is not None:
+            block = pat.config.block_size
+            chunk = max(block, int(args.stream * (1 << 20)) // block * block)
+            starts, _ends, _pids = pat.match_all_stream(
+                text, chunk_bytes=chunk
+            )
+            if args.count_matches:
+                any_match |= len(starts) > 0
+                print(f"{path}:{len(starts)}" if multi else len(starts))
+                continue
+        elif args.count_matches:
             cnt = pat.match_all_count(text)
             any_match |= cnt > 0
             print(f"{path}:{cnt}" if multi else cnt)
             continue
-        starts, _ends, _pids = pat.match_all_arrays(text)
+        else:
+            starts, _ends, _pids = pat.match_all_arrays(text)
         if len(starts) == 0:
             continue
         any_match = True
