@@ -175,6 +175,24 @@ def run_configs(size_mb: float, which):
         )[0]
         report(f"config5_sharded_D{D}", tmed(fn), n)
 
+        # Streaming engine (corpus larger than device memory): end-to-end
+        # wall time incl. host chunk staging, candidate readback, selection.
+        from rejit_tpu.engine import stream as rstream
+
+        use_pal = jax.default_backend() not in ("cpu",)
+        grain = 32 * 1024 if use_pal else 32
+        cb = max(grain, (n // 4) // grain * grain)
+        arr = np.frombuffer(corpus, dtype=np.uint8)
+        run5 = lambda: rstream.stream_match_all(
+            t, arr, chunk_bytes=cb, use_pallas=use_pal
+        )
+        run5()  # warm both chunk shapes
+        t0 = time.perf_counter()
+        s5, _e5, _ = run5()
+        dt = time.perf_counter() - t0
+        assert len(s5) == corpus.count(b"packet")
+        report("config5_stream_e2e", dt, n, f"chunks of {cb>>20}MB")
+
     return results
 
 
@@ -235,7 +253,16 @@ def main():
         help="also time Python re (the in-environment reference engine; "
         "engine-vs-engine parity with rejit's RE2/PCRE/V8 harness)",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the machine sitecustomize force-"
+        "prepends the TPU plugin, so JAX_PLATFORMS=cpu alone is ignored)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     which = {int(x) for x in args.configs.split(",")}
     if args.compare_re:
         compare_python_re(args.size)

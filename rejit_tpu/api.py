@@ -339,7 +339,12 @@ class Pattern:
         (engine/stream.py). Returns (starts, ends, pids) int64 arrays.
         """
         from .engine import stream
+        from .kernels.dfa_pallas import CHUNK
 
+        use_pallas = (
+            self._use_pallas()
+            and chunk_bytes % (self.config.block_size * CHUNK) == 0
+        )
         return stream.stream_match_all(
             self._dfa_tables(),
             self._stream_source(source),
@@ -347,6 +352,8 @@ class Pattern:
             block=self.config.block_size,
             state_dir=state_dir,
             progress=progress,
+            use_pallas=use_pallas,
+            interpret=self.config.interpret,
         )
 
     def match_all_count_stream(self, source, **kw) -> int:

@@ -39,7 +39,9 @@ from .pipeline import DeviceTables
 _CLAMP = np.int64(2**31 - 2)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(
+    jax.jit, static_argnames=("block", "use_pallas", "interpret")
+)
 def chunk_l_arrays_device(
     ct: DeviceTables,
     text: jnp.ndarray,
@@ -48,6 +50,8 @@ def chunk_l_arrays_device(
     first_start: jnp.ndarray,
     *,
     block: int = pipeline.DEFAULT_BLOCK,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """(L, I, total) for one chunk, positions chunk-local.
 
@@ -77,9 +81,22 @@ def chunk_l_arrays_device(
     pos_kb = pipeline.block_views(pos, nb, K)
     startsb = pipeline.block_views(starts, nb, K)
 
-    summ = pipeline.phase1_summaries(ct, cls_kb, pos_kb, n_local)
-    suf = pipeline.suffix_scan(summ, tail)
-    L, I = pipeline.phase3_emit(ct, suf, cls_kb, pos_kb, startsb, n_local)
+    if use_pallas:
+        from ..kernels import dfa_pallas
+
+        summ = dfa_pallas.phase1_pallas(
+            ct.packed, ct.n_classes, cls_kb, n_local, K=K,
+            interpret=interpret,
+        )
+        suf = pipeline.suffix_scan(summ, tail)
+        L, I = dfa_pallas.phase3_pallas(
+            ct.packed, ct.n_classes, suf, cls_kb, startsb, n_local,
+            K=K, interpret=interpret,
+        )
+    else:
+        summ = pipeline.phase1_summaries(ct, cls_kb, pos_kb, n_local)
+        suf = pipeline.suffix_scan(summ, tail)
+        L, I = pipeline.phase3_emit(ct, suf, cls_kb, pos_kb, startsb, n_local)
     total = pipeline.combine(
         (summ[0][0], summ[1][0], summ[2][0]),
         (suf[0][0], suf[1][0], suf[2][0]),
@@ -158,6 +175,8 @@ def stream_candidates(
     state_dir: Optional[str] = None,
     retries: int = 3,
     progress=None,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global candidate (pos, end, pid) int64 arrays for a huge corpus.
 
@@ -169,7 +188,14 @@ def stream_candidates(
     """
     from . import spans
 
-    assert chunk_bytes % block == 0 and chunk_bytes > 0
+    grain = block
+    if use_pallas:
+        from ..kernels.dfa_pallas import CHUNK
+
+        grain = block * CHUNK  # pallas grid needs whole CHUNK columns
+    assert chunk_bytes % grain == 0 and chunk_bytes > 0, (
+        f"chunk_bytes must be a multiple of {grain}"
+    )
     ct = pipeline.device_tables(tables)
     Q = tables.n_states
     n = len(source)
@@ -196,7 +222,7 @@ def stream_candidates(
         b = min(n, a + C)
         n_local = b - a
         if i == nc - 1:
-            P = (n_local // block + 1) * block  # strictly > n_local
+            P = (n_local // grain + 1) * grain  # strictly > n_local
         else:
             P = C
         buf = np.zeros(P, dtype=np.uint8)
@@ -229,6 +255,8 @@ def stream_candidates(
                     tail_dev,
                     jnp.int32(first_start),
                     block=block,
+                    use_pallas=use_pallas,
+                    interpret=interpret,
                 )
                 pos, end, pid = spans.candidates_host(L, I)
                 tf, tm_, ti = (np.asarray(x) for x in total)

@@ -124,6 +124,25 @@ def test_stream_file_path_memmap(tmp_path):
     assert p.match_all_count_stream(str(f), chunk_bytes=32) == 2
 
 
+def test_stream_pallas_interpret_bit_equal():
+    from rejit_tpu.engine import stream
+    from rejit_tpu.kernels.dfa_pallas import CHUNK
+
+    rng = np.random.default_rng(5)
+    words = [b"sing", b"winging", b"thing", b"zz"]
+    data = b" ".join(words[i] for i in rng.integers(0, len(words), 30000))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    p = rejit_tpu.Pattern(r"\b\w+ing\b")
+    cb = 32 * CHUNK  # one pallas grid chunk per stream chunk
+    a = stream.stream_match_all(p.tables, arr, chunk_bytes=cb)
+    b = stream.stream_match_all(
+        p.tables, arr, chunk_bytes=cb, use_pallas=True, interpret=True
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert len(a[0]) > 0
+
+
 def test_stream_oracle_differential_random():
     rng = np.random.default_rng(11)
     alpha = b"abX "
