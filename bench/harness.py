@@ -178,20 +178,24 @@ def run_configs(size_mb: float, which):
         # Streaming engine (corpus larger than device memory): end-to-end
         # wall time incl. host chunk staging, candidate readback, selection.
         from rejit_tpu.engine import stream as rstream
+        from rejit_tpu.kernels.dfa_pallas import CHUNK
 
         use_pal = jax.default_backend() not in ("cpu",)
-        grain = 32 * 1024 if use_pal else 32
+        grain = 32 * CHUNK if use_pal else 32
         cb = max(grain, (n // 4) // grain * grain)
         arr = np.frombuffer(corpus, dtype=np.uint8)
         run5 = lambda: rstream.stream_match_all(
             t, arr, chunk_bytes=cb, use_pallas=use_pal
         )
-        run5()  # warm both chunk shapes
-        t0 = time.perf_counter()
-        s5, _e5, _ = run5()
-        dt = time.perf_counter() - t0
+        s5, _e5, _ = run5()  # warm both chunk shapes
         assert len(s5) == corpus.count(b"packet")
-        report("config5_stream_e2e", dt, n, f"chunks of {cb>>20}MB")
+        best = None  # best-of rounds: gate out tunnel slow-mode windows
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run5()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        report("config5_stream_e2e", best, n, f"chunks of {cb>>20}MB")
 
     return results
 

@@ -92,28 +92,7 @@ class Pattern:
                 hi,
             )
         if self.engine == "dfa":
-            self.tables = None
-            if config.disk_cache:
-                from .engine import cache as diskcache
-
-                self.tables = diskcache.load_cached(
-                    self.source, config.max_nfa_states, config.max_dfa_states
-                )
-            if self.tables is None:
-                self.tables = compile_patterns(
-                    self.irs,
-                    max_nfa_states=config.max_nfa_states,
-                    max_dfa_states=config.max_dfa_states,
-                )
-                if config.disk_cache:
-                    from .engine import cache as diskcache
-
-                    diskcache.store_cached(
-                        self.source,
-                        config.max_nfa_states,
-                        config.max_dfa_states,
-                        self.tables,
-                    )
+            self.tables = self._compile_tables_cached()
             if config.print_tables:
                 from .compile import debug
 
@@ -123,6 +102,33 @@ class Pattern:
             from .oracle import OraclePattern
 
             self._oracle = OraclePattern(list(self.source))
+
+    def _compile_tables_cached(self):
+        """Compile DFA tables, consulting the disk cache when enabled."""
+        config = self.config
+        tables = None
+        if config.disk_cache:
+            from .engine import cache as diskcache
+
+            tables = diskcache.load_cached(
+                self.source, config.max_nfa_states, config.max_dfa_states
+            )
+        if tables is None:
+            tables = compile_patterns(
+                self.irs,
+                max_nfa_states=config.max_nfa_states,
+                max_dfa_states=config.max_dfa_states,
+            )
+            if config.disk_cache:
+                from .engine import cache as diskcache
+
+                diskcache.store_cached(
+                    self.source,
+                    config.max_nfa_states,
+                    config.max_dfa_states,
+                    tables,
+                )
+        return tables
 
     def _select_engine(self) -> str:
         cfg = self.config
@@ -306,11 +312,7 @@ class Pattern:
         """DFA tables, compiled on demand (the literal/classrun engines skip
         table compilation, but streaming always runs the DFA path)."""
         if self.tables is None:
-            self.tables = compile_patterns(
-                self.irs,
-                max_nfa_states=self.config.max_nfa_states,
-                max_dfa_states=self.config.max_dfa_states,
-            )
+            self.tables = self._compile_tables_cached()
         return self.tables
 
     @staticmethod

@@ -107,22 +107,30 @@ def chunk_l_arrays_device(
     return L, I, total
 
 
-def _fingerprint(t: DFATables, n: int, chunk_bytes: int, block: int) -> str:
+def _fingerprint(
+    t: DFATables, source, n: int, chunk_bytes: int, block: int
+) -> str:
     h = hashlib.sha1()
     for a in (t.class_of, t.next, t.accept, t.accept_eot, t.start_states):
         h.update(np.ascontiguousarray(a).tobytes())
     h.update(f"{n}:{chunk_bytes}:{block}".encode())
+    # Corpus identity sample: head + tail KB, so a reused state_dir against
+    # a different (or rewritten same-length) corpus restarts instead of
+    # silently returning the old corpus's candidates. Mid-file edits that
+    # keep head/tail/length identical are not detected — use a fresh
+    # state_dir when regenerating a corpus in place.
+    h.update(np.asarray(source[:1024], dtype=np.uint8).tobytes())
+    h.update(np.asarray(source[max(0, n - 1024):n], dtype=np.uint8).tobytes())
     return h.hexdigest()
 
 
 class _State:
     """Checkpoint directory: meta.json + tail.npz + cands_<i>.npz."""
 
-    def __init__(self, path: Optional[str], fp: str, nc: int):
+    def __init__(self, path: Optional[str], fp: str):
         self.path = path
         self.fp = fp
-        self.nc = nc
-        self.mem = {}  # chunk -> (pos, end, pid) when no state_dir
+        self.mem = {}  # chunk -> (pos, end, pid), also mirrors disk saves
         if path:
             os.makedirs(path, exist_ok=True)
 
@@ -139,6 +147,13 @@ class _State:
             if meta.get("fingerprint") != self.fp:
                 return None
             z = np.load(os.path.join(self.path, "tail.npz"))
+            # tail.npz and meta.json are written in sequence; a kill between
+            # the two would pair meta's cursor with a newer tail and produce
+            # silently wrong seeds, so the cursor is stored in BOTH and must
+            # agree (a mismatch resumes one chunk earlier — the tail's own
+            # cursor — which is always safe).
+            if int(z["next_chunk"]) != int(meta["next_chunk"]):
+                return int(z["next_chunk"]), (z["f"], z["m"], z["i"])
             return int(meta["next_chunk"]), (z["f"], z["m"], z["i"])
         except Exception:
             return None
@@ -147,21 +162,27 @@ class _State:
         if not self.path:
             return
         f, m, i = tail_global
-        np.savez(os.path.join(self.path, "tail.npz"), f=f, m=m, i=i)
+        tmp_t = os.path.join(self.path, "tail.npz.tmp")
+        with open(tmp_t, "wb") as fh:
+            np.savez(fh, f=f, m=m, i=i, next_chunk=np.int64(next_chunk))
+        os.replace(tmp_t, os.path.join(self.path, "tail.npz"))
         tmp = os.path.join(self.path, "meta.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"fingerprint": self.fp, "next_chunk": next_chunk}, fh)
         os.replace(tmp, os.path.join(self.path, "meta.json"))
 
     def save_cands(self, i: int, pos, end, pid) -> None:
+        self.mem[i] = (pos, end, pid)
         if not self.path:
             return
-        np.savez(
-            os.path.join(self.path, f"cands_{i}.npz"),
-            pos=pos, end=end, pid=pid,
-        )
+        final = os.path.join(self.path, f"cands_{i}.npz")
+        with open(final + ".tmp", "wb") as fh:
+            np.savez(fh, pos=pos, end=end, pid=pid)
+        os.replace(final + ".tmp", final)
 
     def load_cands(self, i: int):
+        if i in self.mem:
+            return self.mem[i]
         z = np.load(os.path.join(self.path, f"cands_{i}.npz"))
         return z["pos"], z["end"], z["pid"]
 
@@ -201,21 +222,28 @@ def stream_candidates(
     n = len(source)
     C = chunk_bytes
     nc = max(1, -(-n // C))  # last chunk may be empty-of-full-C but has EOT
-    fp = _fingerprint(tables, n, C, block)
-    state = _State(state_dir, fp, nc)
+    fp = _fingerprint(tables, source, n, C, block)
+    state = _State(state_dir, fp)
 
     # Tail in GLOBAL int64 coordinates (host side).
-    tail_global = (
+    eot_tail = (
         np.arange(Q, dtype=np.int64),
         np.where(np.asarray(tables.accept_eot) >= 0, np.int64(n), -1),
         np.asarray(tables.accept_eot, dtype=np.int64),
     )
+    tail_global = eot_tail
     start_chunk = nc - 1
     resumed = state.load()
     if resumed is not None:
         start_chunk, tail_global = resumed
         if start_chunk < 0:
-            return _collect(state, nc)
+            try:
+                return _collect(state, nc)
+            except Exception:
+                # Damaged candidate files under a "complete" meta (e.g.
+                # manual deletion): restart the scan rather than poisoning
+                # every future call with this state_dir.
+                start_chunk, tail_global = nc - 1, eot_tail
 
     for i in range(start_chunk, -1, -1):
         a = i * C
@@ -276,11 +304,8 @@ def stream_candidates(
             np.where(tm_ >= 0, tm_.astype(np.int64) + a, np.int64(-1)),
             ti.astype(np.int64),
         )
-        if state.path:
-            state.save_cands(i, pos_g, end_g, pid)
-            state.save(i - 1, tail_global)
-        else:
-            state.mem[i] = (pos_g, end_g, pid)
+        state.save_cands(i, pos_g, end_g, pid)
+        state.save(i - 1, tail_global)
         if progress is not None:
             progress(i, nc)
 
@@ -290,18 +315,11 @@ def stream_candidates(
 def _collect(state: _State, nc: int):
     ps, es, ids = [], [], []
     for i in range(nc):
-        if state.path:
-            p, e, d = state.load_cands(i)
-        else:
-            p, e, d = state.mem[i]
+        p, e, d = state.load_cands(i)
         ps.append(p)
         es.append(e)
         ids.append(d)
-    return (
-        np.concatenate(ps) if ps else np.zeros(0, np.int64),
-        np.concatenate(es) if es else np.zeros(0, np.int64),
-        np.concatenate(ids) if ids else np.zeros(0, np.int64),
-    )
+    return (np.concatenate(ps), np.concatenate(es), np.concatenate(ids))
 
 
 def stream_match_all(

@@ -68,6 +68,23 @@ def test_regex_pattern(tree):
     assert r.stdout.strip() == "2:needle here"
 
 
+def test_line_info_windowed_matches_full():
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import jrep
+
+    rng = np.random.default_rng(2)
+    text = rng.choice(
+        np.frombuffer(b"ab\ncd", dtype=np.uint8), size=100_000
+    )
+    offsets = np.sort(rng.choice(len(text), size=200, replace=False))
+    a = jrep.line_info(text, offsets)
+    b = jrep.line_info_windowed(text, offsets, window=1024)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_stream_mode(tree, tmp_path_factory):
     d = tmp_path_factory.mktemp("big")
     # File spanning several streaming chunks; matches at chunk edges.

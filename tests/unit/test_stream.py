@@ -114,6 +114,66 @@ def test_stream_state_fingerprint_mismatch_restarts(tmp_path):
     assert [tuple(x) for x in zip(*got)] == [tuple(x) for x in zip(*want)]
 
 
+def test_stream_state_corpus_identity(tmp_path):
+    # Same length, different content: a reused state_dir must restart, not
+    # return the old corpus's matches.
+    sd = str(tmp_path / "state")
+    p = rejit_tpu.Pattern("needle")
+    a = bytearray(b"x" * 4096)
+    a[100:106] = b"needle"
+    p.match_all_stream(np.frombuffer(bytes(a), np.uint8),
+                       chunk_bytes=1024, state_dir=sd)
+    b = bytearray(b"x" * 4096)
+    b[0:6] = b"needle"
+    b[2000:2006] = b"needle"
+    s, e, _ = p.match_all_stream(np.frombuffer(bytes(b), np.uint8),
+                                 chunk_bytes=1024, state_dir=sd)
+    assert list(s) == [0, 2000]
+
+
+def test_stream_state_tail_meta_mismatch(tmp_path):
+    # Simulate a kill between the tail.npz and meta.json writes: meta's
+    # cursor is one chunk behind the tail's. Resume must stay exact (it
+    # trusts the tail's own cursor).
+    import json, os
+    data = bytearray(b"x" * 256)
+    data[128] = ord("b")
+    data[191] = ord("a")  # 'ab' never matches: 'a' at 191, 'b' at 128
+    arr = np.frombuffer(bytes(data), np.uint8)
+    p = rejit_tpu.Pattern("ab")
+    sd = str(tmp_path / "state")
+
+    class Stop(Exception):
+        pass
+
+    def bomb(i, nc):
+        if i == 1:  # chunks processed 3,2,1 then stop
+            raise Stop()
+
+    with pytest.raises(Stop):
+        p.match_all_stream(arr, chunk_bytes=64, state_dir=sd, progress=bomb)
+    # Roll meta.json's cursor back one chunk (the crash window state).
+    meta_p = os.path.join(sd, "meta.json")
+    meta = json.load(open(meta_p))
+    meta["next_chunk"] += 1
+    json.dump(meta, open(meta_p, "w"))
+    s, _e, _ = p.match_all_stream(arr, chunk_bytes=64, state_dir=sd)
+    assert list(s) == []  # phantom (191,129) span would appear if wrong
+
+
+def test_stream_state_corrupt_cands_recovers(tmp_path):
+    import os
+    data = b"needle " * 600
+    arr = np.frombuffer(data, np.uint8)
+    p = rejit_tpu.Pattern("needle")
+    sd = str(tmp_path / "state")
+    want = p.match_all_stream(arr, chunk_bytes=1024, state_dir=sd)
+    os.remove(os.path.join(sd, "cands_1.npz"))
+    got = p.match_all_stream(arr, chunk_bytes=1024, state_dir=sd)
+    for x, y in zip(want, got):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_stream_file_path_memmap(tmp_path):
     data = b"the packet is winging its way; another packet follows"
     f = tmp_path / "corpus.bin"

@@ -56,6 +56,42 @@ def line_info(text: np.ndarray, offsets: np.ndarray):
     return line_no, starts[line_no], bounds[line_no]
 
 
+def line_info_windowed(text, offsets: np.ndarray, window: int = 16 << 20):
+    """line_info over a memmap in fixed windows — O(window) memory, so
+    larger-than-RAM files in --stream/--mmap mode never materialize O(n)
+    temporaries (neither the full newline index nor a bool mask)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(text)
+    k = len(offsets)
+    line_no = np.empty(k, dtype=np.int64)
+    lo = np.empty(k, dtype=np.int64)
+    hi = np.full(k, -1, dtype=np.int64)
+    nl_count = 0   # newlines seen before current window
+    last_nl = -1   # global position of the last newline seen
+    j = 0          # next offset to resolve (offsets are sorted)
+    for a in range(0, n, window):
+        if j >= k and (hi[:k] >= 0).all():
+            break
+        w = np.asarray(text[a : a + window])
+        nls = np.flatnonzero(w == 0x0A)
+        # Resolve line ends deferred from earlier windows.
+        unresolved = np.flatnonzero(hi[:j] < 0)
+        if len(unresolved) and len(nls):
+            hi[unresolved] = a + nls[0]
+        while j < k and offsets[j] < a + len(w):
+            off = int(offsets[j])
+            c = int(np.searchsorted(nls, off - a))
+            line_no[j] = nl_count + c
+            lo[j] = (a + nls[c - 1] + 1) if c > 0 else last_nl + 1
+            hi[j] = (a + nls[c]) if c < len(nls) else -1
+            j += 1
+        nl_count += len(nls)
+        if len(nls):
+            last_nl = a + int(nls[-1])
+    hi[hi < 0] = n  # lines running to EOF
+    return line_no, lo, hi
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jrep", add_help=True)
     ap.add_argument("-r", action="store_true", dest="recurse")
@@ -129,15 +165,17 @@ def main(argv=None) -> int:
         if args.files_only:
             print(path)
             continue
-        line_no, lo, hi = line_info(text, starts)
+        if data is None:  # memmapped (--mmap/--stream): stay O(window)
+            line_no, lo, hi = line_info_windowed(text, np.asarray(starts))
+        else:
+            line_no, lo, hi = line_info(text, starts)
         uniq = np.unique(line_no, return_index=True)[1]
         if args.count_lines:
             print(f"{path}:{len(uniq)}" if multi else len(uniq))
             continue
-        if data is None:
-            data = text.tobytes()
         for k in uniq:
-            line = data[lo[k] : hi[k]].decode("utf-8", "replace")
+            seg = text[lo[k] : hi[k]] if data is None else data[lo[k] : hi[k]]
+            line = bytes(seg).decode("utf-8", "replace")
             prefix = f"{path}:" if multi else ""
             if args.line_numbers:
                 prefix += f"{int(line_no[k]) + 1}:"
