@@ -7,17 +7,22 @@ vs_baseline is the ratio against the BASELINE.json target of 10 GB/s/chip
 (BASELINE.md; the reference repo shipped no published numbers).
 
 Protocol (BASELINE.md): corpus staged on device (the deployment model is a
-device-resident sharded corpus), steady state after JIT warm-up, median of
->= 5 timed iterations; several rounds, best round kept (the TPU here sits
-behind a shared tunnel with time-varying contention and occasional multi
--minute stalls, so the child measurement runs under a watchdog with retries
-— capability is the best stable round, variance is the tunnel, not the
-kernel). Correctness is asserted against an independent host count before
-timing. The full config matrix lives in bench/harness.py.
+device-resident sharded corpus), steady state after JIT warm-up.
+
+Timing method — CHAINED REPS: the shared tunnel in front of the chip adds a
+per-dispatch round-trip latency that oscillates ~40us..70ms on a minutes
+scale, so any single-call wall time measures the tunnel, not the kernel.
+Instead we jit a lax.scan chaining R dependent executions of the count
+(carry feeds the next call non-foldably, so XLA cannot hoist the body) and
+take the SLOPE between two rep counts: per_call = (t(R2)-t(R1))/(R2-R1).
+Verified linear: 1024/4096/16384 reps of the 10MB count gave 50/110/342 ms
+through a degraded window -> 19us/call, while single calls read 30-70 ms.
+Correctness is asserted against an independent host count before timing;
+several rounds with watchdog + retries, best round kept. The full config
+matrix lives in bench/harness.py.
 """
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -35,6 +40,8 @@ def log(*a):
 
 def measure_child() -> dict:
     """Runs in the child: stage corpus, verify, time. Prints JSON."""
+    import functools
+
     import numpy as np
 
     from bench.corpus import make_corpus
@@ -56,55 +63,69 @@ def measure_child() -> dict:
     assert p.engine == "literal" and p.info.overlap_free
 
     ext = jax.device_put(jnp.asarray(lk.extend_pad(text, P, len(NEEDLE))))
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(nv, reps):
+        # (c & 1) is 0 in practice but not foldable at compile time, so the
+        # scan body genuinely depends on the carry and XLA executes all
+        # `reps` sequential counts on device.
+        def body(c, _):
+            c = lk.literal_count_device(
+                ext, nv + (c & 1), lits=p.info.literals, P=P
+            )
+            return c, None
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=reps)
+        return c
+
     n_dev = jnp.int32(n)
-
-    def fn():
-        return lk.literal_count_device(ext, n_dev, lits=p.info.literals, P=P)
-
     t0 = time.time()
-    got = int(fn())  # compile + first run
+    got = int(chain(n_dev, reps=1))  # compile + first run
     log(f"first call (incl. compile): {time.time() - t0:.2f}s")
     expected = corpus.count(NEEDLE)  # borderless => greedy == all == count
     assert got == expected, (got, expected)
     log(f"matches: {got} (verified)")
 
-    # Fast-mode gate: the tunneled device periodically degrades to a
-    # CPU-class fallback (deterministically ~1000x slower). Reject such
-    # windows so the parent retries instead of recording fallback numbers.
-    # Timing includes the int() readback of the scalar result:
-    # block_until_ready has been observed to return before execution
-    # completes on this backend, so only a host readback is trustworthy.
-    probe = []
-    for _ in range(3):
-        a = time.perf_counter()
-        int(fn())
-        probe.append(time.perf_counter() - a)
-    slow_mode = min(probe) > 0.01  # 10 MB in >10 ms => not TPU-class
+    R1, R2 = 1024, 4096
 
-    best = min(probe)
-    for rnd in range(3):
-        times = []
-        for _ in range(5):
+    def timed(reps, k=3):
+        ts = []
+        for _ in range(k):
             a = time.perf_counter()
-            int(fn())
-            times.append(time.perf_counter() - a)
-        med = statistics.median(times)
-        log(f"round {rnd}: median {med*1e3:.3f} ms")
-        best = min(best, med)
-    bps = n / best
-    if slow_mode and best > 0.01:
-        # Print the JSON (the parent may use it as a fallback) but signal
-        # that this window was degraded so the parent retries for a fast one.
-        log("slow-mode window: reporting fallback number, rc=3")
+            r = int(chain(n_dev, reps=reps))
+            ts.append(time.perf_counter() - a)
+            assert r == expected
+        return min(ts)
 
-    # Secondary: span-producing MatchAll via the public API (steady state).
+    int(chain(n_dev, reps=R1))  # compile both shapes outside timing
+    int(chain(n_dev, reps=R2))
+    best = None
+    for rnd in range(3):
+        t1 = timed(R1)
+        t2 = timed(R2)
+        per_call = (t2 - t1) / (R2 - R1)
+        amortized = t2 / R2  # upper bound on per-call incl. RTT share
+        # Slope can go <=0 from RTT noise; the amortized time is then the
+        # honest (conservative) answer.
+        eff = per_call if per_call > 0 else amortized
+        log(
+            f"round {rnd}: t({R1})={t1*1e3:.1f}ms t({R2})={t2*1e3:.1f}ms "
+            f"slope={per_call*1e6:.1f}us amort={amortized*1e6:.1f}us"
+        )
+        best = eff if best is None else min(best, eff)
+    bps = n / best
+    # Degraded-window gate: >10 ms of DEVICE time per 10 MB is not
+    # TPU-class; signal the parent to retry in a later window.
+    slow_mode = best > 0.01
+
+    # Secondary: span-producing MatchAll via the public API (steady state;
+    # single-call wall time, so tunnel RTT is included — indicative only).
     p.match_all_arrays(text)  # warm
     a = time.perf_counter()
     starts, _, _ = p.match_all_arrays(text)
     t_span = time.perf_counter() - a
     log(
         f"spans MatchAll steady: {t_span*1e3:.1f} ms, {len(starts)} spans "
-        f"-> {n/t_span/1e9:.2f} GB/s"
+        f"-> {n/t_span/1e9:.2f} GB/s (incl. tunnel RTT)"
     )
 
     print(

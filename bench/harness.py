@@ -35,6 +35,54 @@ def _force(r):
     return r
 
 
+def tchain(step, n, rounds=3):
+    """Per-call seconds via chained-reps slope (see bench.py docstring).
+
+    `step(n_i32) -> int32 device scalar` is the computation under test
+    (reduce array outputs to a scalar inside). Single-call wall times over
+    the tunnel measure dispatch round-trip latency (~40us..70ms, varying),
+    not the kernel: a lax.scan chaining R carry-dependent executions
+    amortizes the RTT, and the slope between two rep counts removes it.
+    """
+    import functools
+
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(nv, reps):
+        def body(c, _):
+            # c & 1 == 0 in practice but is not foldable, so the body
+            # depends on the carry and cannot be hoisted out of the scan.
+            return step(nv + (c & 1)), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=reps)
+        return c
+
+    nv = jnp.int32(n)
+
+    def t(reps):
+        a = time.perf_counter()
+        int(chain(nv, reps=reps))
+        return time.perf_counter() - a
+
+    t(16)  # compile
+    per0 = t(16) / 16  # RTT-inflated estimate, only used to size R2
+    R2 = 64
+    while R2 * per0 < 0.25 and R2 < 16384:
+        R2 *= 2
+    R1 = max(16, R2 // 4)
+    t(R1)
+    t(R2)  # compile both shapes outside timing
+    best = None
+    for _ in range(rounds):
+        t1, t2 = t(R1), t(R2)
+        per = (t2 - t1) / (R2 - R1)
+        if per <= 0:  # RTT noise swamped the slope; amortized upper bound
+            per = t2 / R2
+        best = per if best is None else min(best, per)
+    return best
+
+
 def tmed(fn, iters=5, rounds=3):
     _force(fn())
     best = None
@@ -79,17 +127,17 @@ def run_configs(size_mb: float, which):
         p = Pattern("packet")
         ext = jax.device_put(jnp.asarray(lk.extend_pad(text, n, 6)))
         n_dev = jnp.int32(n)
-        fn = lambda: lk.literal_count_device(
-            ext, n_dev, lits=p.info.literals, P=n
+        step = lambda nv: lk.literal_count_device(
+            ext, nv, lits=p.info.literals, P=n
         )
-        assert int(fn()) == corpus.count(b"packet")
-        report("config1_literal_count", tmed(fn), n)
+        assert int(step(n_dev)) == corpus.count(b"packet")
+        report("config1_literal_count", tchain(step, n), n)
 
-        # span path, device side only (L/I + compaction count)
-        fn2 = lambda: lk.literal_l_arrays_device(
-            ext, n_dev, lits=p.info.literals, pids=p.info.literal_pids, P=n
-        )[0]
-        report("config1_literal_Larray", tmed(fn2), n)
+        # span path, device side only (L/I array production)
+        step2 = lambda nv: lk.literal_l_arrays_device(
+            ext, nv, lits=p.info.literals, pids=p.info.literal_pids, P=n
+        )[0].max()
+        report("config1_literal_Larray", tchain(step2, n), n)
 
     # ---- config 2: class + alternation ---------------------------------
     if 2 in which:
@@ -98,10 +146,11 @@ def run_configs(size_mb: float, which):
         text = np.frombuffer(corpus, dtype=np.uint8)
         for pat in ("[a-z]+", "foo|bar|baz"):
             p = Pattern(pat, _dfa_cfg())
-            report(f"config2_dfa_{pat}", tmed(_dfa_fn(p, text, jax, jnp)), n,
+            report(f"config2_dfa_{pat}",
+                   tchain(_dfa_step(p, text, jax, jnp), n), n,
                    f"Q={p.tables.n_states}")
             report(f"config2_pal_{pat}",
-                   tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
+                   tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
         # auto engine for [a-z]+ is the classrun fast path
         pc = Pattern("[a-z]+")
         assert pc.engine == "classrun"
@@ -113,10 +162,10 @@ def run_configs(size_mb: float, which):
         pad2[:n] = text
         td2 = jax.device_put(jnp.asarray(pad2))
         nd2 = jnp.int32(n)
-        fn_cr = lambda: crk.classrun_l_arrays_device(
-            lut, td2, nd2, lo=lo, has_hi=hi is not None, hi=hi or 0
-        )[0]
-        report("config2_classrun_[a-z]+", tmed(fn_cr), n)
+        step_cr = lambda nv: crk.classrun_l_arrays_device(
+            lut, td2, nv, lo=lo, has_hi=hi is not None, hi=hi or 0
+        )[0].max()
+        report("config2_classrun_[a-z]+", tchain(step_cr, n), n)
 
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
@@ -124,10 +173,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
-        report("config3_dfa_wb_ing", tmed(_dfa_fn(p, text, jax, jnp)), n,
+        report("config3_dfa_wb_ing",
+               tchain(_dfa_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
         report("config3_pal_wb_ing",
-               tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
+               tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
 
     # ---- config 4: tokenizer multi-pattern -----------------------------
     if 4 in which:
@@ -135,10 +185,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
-        report("config4_tokenizer_L", tmed(_dfa_fn(p, text, jax, jnp)), n,
+        report("config4_tokenizer_L",
+               tchain(_dfa_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
         report("config4_pal_tokenizer",
-               tmed(_dfa_fn(p, text, jax, jnp, pallas=True)), n)
+               tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
         # end-to-end spans incl. host transfer + selection (1 MB: the span
         # list is dense, ~1 token/3 bytes; see engine/select_device for the
         # device-resident path)
@@ -170,10 +221,10 @@ def run_configs(size_mb: float, which):
         ct = pipeline.device_tables(t)
         sharding = NamedSharding(mesh, PartitionSpec("data"))
         text_dev = jax.device_put(jnp.asarray(pad), sharding)
-        fn = lambda: sharded_l_arrays_device(
-            ct, text_dev, jnp.int32(n), mesh=mesh, block=block, num_shards=D
-        )[0]
-        report(f"config5_sharded_D{D}", tmed(fn), n)
+        step5 = lambda nv: sharded_l_arrays_device(
+            ct, text_dev, nv, mesh=mesh, block=block, num_shards=D
+        )[0].max()
+        report(f"config5_sharded_D{D}", tchain(step5, n), n)
 
         # Streaming engine (corpus larger than device memory): end-to-end
         # wall time incl. host chunk staging, candidate readback, selection.
@@ -223,6 +274,27 @@ def _dfa_cfg():
     from rejit_tpu import Config
 
     return Config(engine="dfa", block_size=32)
+
+
+def _dfa_step(p, text, jax, jnp, pallas=False):
+    """step(nv) -> scalar for tchain over the (padded, device-staged) text."""
+    n = len(text)
+    block = p.config.block_size
+    from rejit_tpu.engine import pipeline
+    from rejit_tpu.kernels.dfa_pallas import CHUNK
+
+    gran = block * CHUNK if pallas else block
+    P = ((n + gran - 1) // gran) * gran
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    text_dev = jax.device_put(jnp.asarray(pad))
+    if pallas:
+        return lambda nv: pipeline.l_arrays_device_pallas(
+            p.ct, text_dev, nv, block=block
+        )[0].max()
+    return lambda nv: pipeline.l_arrays_device(
+        p.ct, text_dev, nv, block=block
+    )[0].max()
 
 
 def _dfa_fn(p, text, jax, jnp, pallas=False):
