@@ -3,6 +3,12 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS=cpu even where a sitecustomize force-prepends
+# a TPU plugin (it merges rather than replaces the platform list).
+import jax
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import rejit_tpu
 from rejit_tpu import Pattern
 

@@ -15,6 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+# Honor JAX_PLATFORMS=cpu even where a sitecustomize force-prepends a TPU
+# plugin (it merges rather than replaces the platform list).
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def make_fasta(n: int, seed: int = 42) -> bytes:
     """Benchmarks-game-style FASTA: header lines + 60-col random ACGT with
