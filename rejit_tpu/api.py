@@ -361,6 +361,57 @@ class Pattern:
     def match_all_count_stream(self, source, **kw) -> int:
         return len(self.match_all_stream(source, **kw)[0])
 
+    def _stream_kw(self, chunk_bytes: int) -> dict:
+        from .kernels.dfa_pallas import CHUNK
+
+        use_pallas = (
+            self._use_pallas()
+            and chunk_bytes % (self.config.block_size * CHUNK) == 0
+        )
+        return dict(
+            chunk_bytes=chunk_bytes,
+            block=self.config.block_size,
+            use_pallas=use_pallas,
+            interpret=self.config.interpret,
+        )
+
+    def match_first_stream(
+        self, source, *, chunk_bytes: int = 8 << 20
+    ) -> Optional[Tuple[int, int]]:
+        """MatchFirst over a huge corpus with early exit: work scales with
+        the distance to the first match (doubling windows), not corpus
+        size (engine/stream.py)."""
+        from .engine import stream
+
+        m = stream.stream_match_first(
+            self._dfa_tables(),
+            self._stream_source(source),
+            **self._stream_kw(chunk_bytes),
+        )
+        return None if m is None else (m[0], m[1])
+
+    def match_anywhere_stream(
+        self, source, *, chunk_bytes: int = 8 << 20
+    ) -> bool:
+        from .engine import stream
+
+        return stream.stream_match_anywhere(
+            self._dfa_tables(),
+            self._stream_source(source),
+            **self._stream_kw(chunk_bytes),
+        )
+
+    def match_full_stream(
+        self, source, *, chunk_bytes: int = 8 << 20
+    ) -> bool:
+        from .engine import stream
+
+        return stream.stream_match_full(
+            self._dfa_tables(),
+            self._stream_source(source),
+            **self._stream_kw(chunk_bytes),
+        )
+
     # -- Replace API --------------------------------------------------------
 
     def replace(self, text: TextLike, repl: Union[str, bytes]) -> bytes:

@@ -332,3 +332,206 @@ def stream_match_all(
 
 def stream_match_count(tables: DFATables, source, **kw) -> int:
     return len(stream_match_all(tables, source, **kw)[0])
+
+
+# ---------------------------------------------------------------------------
+# Early-exit streaming MatchFirst / MatchAnywhere / MatchFull
+# ---------------------------------------------------------------------------
+#
+# Forward doubling-window scan: each window is evaluated twice with the SAME
+# chunk kernel but different suffix seeds —
+#   pessimistic tail: nothing after the window accepts (m = -1 everywhere);
+#     every candidate it reports is a real accept seen inside the window;
+#   optimistic tail: every state that can still reach an accept (host
+#     reachability over the tables) accepts "far away" (m = clamp);
+#     a boundary with optimistic L < 0 provably never starts a match.
+# First boundary where both agree (and all earlier boundaries are
+# optimistically dead) is the exact leftmost-longest first match; if the
+# window is inconclusive it doubles, and when it reaches end-of-text the
+# real EOT seed makes it exact. Expected work is O(distance to the first
+# match), not O(corpus) — the reference's early-exit MatchFirst analog
+# (SURVEY.md §3.3) for corpora that don't fit in memory.
+
+
+def _can_accept_states(t: DFATables) -> np.ndarray:
+    """bool[Q]: acceptance (incl. at a future EOT) reachable from state."""
+    can = (np.asarray(t.accept) >= 0).any(axis=1) | (
+        np.asarray(t.accept_eot) >= 0
+    )
+    while True:
+        new = can | can[t.next].any(axis=1)
+        if (new == can).all():
+            return can
+        can = new
+
+
+def _first_start_at(tables: DFATables, source, base: int) -> int:
+    if base == 0:
+        return int(tables.start_states[0])  # CTX_BEGIN
+    return int(tables.start_states[ctx_of_byte(int(source[base - 1]))])
+
+
+def _window_l(ct, tables, source, base, end, n, tail_np, block,
+              use_pallas, interpret, grain):
+    """(L, I) local arrays for window [base, end) with the given tail."""
+    n_local = end - base
+    if end >= n:
+        P = (n_local // grain + 1) * grain  # strictly > n_local: EOT inside
+    else:
+        P = -(-n_local // grain) * grain
+    buf = np.zeros(P, dtype=np.uint8)
+    buf[:n_local] = np.asarray(source[base:end], dtype=np.uint8)
+    tail_dev = tuple(jnp.asarray(x.astype(np.int32)) for x in tail_np)
+    L, I, _ = chunk_l_arrays_device(
+        ct, jnp.asarray(buf), jnp.int32(n_local), tail_dev,
+        jnp.int32(_first_start_at(tables, source, base)),
+        block=block, use_pallas=use_pallas, interpret=interpret,
+    )
+    return np.asarray(L), np.asarray(I), n_local
+
+
+def stream_match_first(
+    tables: DFATables,
+    source,
+    *,
+    chunk_bytes: int = 8 << 20,
+    block: int = pipeline.DEFAULT_BLOCK,
+    max_window: int = 1 << 28,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    anywhere: bool = False,
+):
+    """Exact leftmost-longest first match (start, end, pid) or None.
+
+    With anywhere=True, returns True/False as soon as ANY accept is proven
+    (without waiting for the longest end) — the MatchAnywhere semantics.
+    """
+    ct = pipeline.device_tables(tables)
+    Q = tables.n_states
+    n = len(source)
+    grain = block
+    if use_pallas:
+        from ..kernels.dfa_pallas import CHUNK
+
+        grain = block * CHUNK
+
+    ident = np.arange(Q, dtype=np.int64)
+    pess = (ident, np.full(Q, -1, np.int64), np.full(Q, -1, np.int64))
+    can = _can_accept_states(tables)
+    opt = (
+        ident,
+        np.where(can, np.int64(_CLAMP), -1),
+        np.where(can, 0, -1).astype(np.int64),
+    )
+
+    base = 0
+    W = -(-max(chunk_bytes, grain) // grain) * grain
+    W0 = W
+    while True:
+        end = min(base + W, n)
+        at_eot = end >= n
+        if at_eot:
+            eot = (
+                ident,
+                np.where(np.asarray(tables.accept_eot) >= 0,
+                         np.int64(end - base), -1),
+                np.asarray(tables.accept_eot, dtype=np.int64),
+            )
+            L, I, n_local = _window_l(
+                ct, tables, source, base, end, n, eot, block,
+                use_pallas, interpret, grain,
+            )
+            L_o = L  # exact: optimistic == pessimistic at EOT
+        else:
+            L, I, n_local = _window_l(
+                ct, tables, source, base, end, n, pess, block,
+                use_pallas, interpret, grain,
+            )
+            L_o, _, _ = _window_l(
+                ct, tables, source, base, end, n, opt, block,
+                use_pallas, interpret, grain,
+            )
+        cand_o = np.flatnonzero(L_o[: n_local + 1] >= 0)
+        if len(cand_o) == 0:
+            if at_eot:
+                return False if anywhere else None
+            base = end  # provably no match starts in this window
+            W = W0
+            continue
+        if anywhere and (L[cand_o] >= 0).any():
+            return True
+        s = int(cand_o[0])
+        if L[s] == L_o[s]:  # longest end cannot grow with more text
+            return (base + s, base + int(L[s]), int(I[s]))
+        if at_eot:  # cannot happen (EOT seed makes both equal) — safety
+            return (base + s, base + int(L[s]), int(I[s]))
+        if W >= max_window:
+            # A single match span wider than max_window: fall back to the
+            # exact full scan.
+            st, en, pid = stream_match_all(
+                tables, source, chunk_bytes=chunk_bytes, block=block,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            if anywhere:
+                return len(st) > 0
+            if len(st) == 0:
+                return None
+            return (int(st[0]), int(en[0]), int(pid[0]))
+        W *= 2
+
+
+def stream_match_anywhere(tables: DFATables, source, **kw) -> bool:
+    return bool(stream_match_first(tables, source, anywhere=True, **kw))
+
+
+def stream_match_full(
+    tables: DFATables,
+    source,
+    *,
+    chunk_bytes: int = 8 << 20,
+    block: int = pipeline.DEFAULT_BLOCK,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> bool:
+    """MatchFull (pattern spans the whole corpus) with early-exit False.
+
+    Only boundary 0 matters; windows double from the start and the scan
+    stops as soon as the boundary-0 thread provably dies.
+    """
+    ct = pipeline.device_tables(tables)
+    Q = tables.n_states
+    n = len(source)
+    grain = block
+    if use_pallas:
+        from ..kernels.dfa_pallas import CHUNK
+
+        grain = block * CHUNK
+    ident = np.arange(Q, dtype=np.int64)
+    can = _can_accept_states(tables)
+    opt = (
+        ident,
+        np.where(can, np.int64(_CLAMP), -1),
+        np.where(can, 0, -1).astype(np.int64),
+    )
+    W = -(-max(chunk_bytes, grain) // grain) * grain
+    while True:
+        end = min(W, n)
+        if end >= n:
+            eot = (
+                ident,
+                np.where(np.asarray(tables.accept_eot) >= 0,
+                         np.int64(end), -1),
+                np.asarray(tables.accept_eot, dtype=np.int64),
+            )
+            L, _, _ = _window_l(
+                ct, tables, source, 0, end, n, eot, block,
+                use_pallas, interpret, grain,
+            )
+            return int(L[0]) == n
+        L_o, _, _ = _window_l(
+            ct, tables, source, 0, end, n, opt, block,
+            use_pallas, interpret, grain,
+        )
+        if L_o[0] < 0:
+            return False  # boundary-0 thread provably dead
+        W *= 2

@@ -203,6 +203,69 @@ def test_stream_pallas_interpret_bit_equal():
     assert len(a[0]) > 0
 
 
+def test_stream_match_first_differential():
+    rng = np.random.default_rng(9)
+    alpha = b"abX "
+    data = bytes(alpha[i] for i in rng.integers(0, 4, 5000))
+    for pat in (r"a+b", r"\bX\w*", r"zzz", r"(a|b)+X"):
+        p = rejit_tpu.Pattern(pat)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        want = p.match_first(arr)
+        got = p.match_first_stream(arr, chunk_bytes=256)
+        assert got == want, pat
+        assert p.match_anywhere_stream(arr, chunk_bytes=256) == \
+            p.match_anywhere(arr), pat
+
+
+def test_stream_match_first_early_exit_window_count():
+    from rejit_tpu.engine import stream
+
+    # Match near the start of a large corpus: the doubling-window scan must
+    # touch only the first windows, not the whole corpus.
+    data = b"x" * 100 + b"needle" + b"x" * (1 << 20)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    p = rejit_tpu.Pattern("needle")
+    calls = []
+    orig = stream._window_l
+
+    def spy(*a, **kw):
+        calls.append(a[3:5])  # (base, end)
+        return orig(*a, **kw)
+
+    stream._window_l = spy
+    try:
+        got = stream.stream_match_first(
+            p._dfa_tables(), arr, chunk_bytes=1024
+        )
+    finally:
+        stream._window_l = orig
+    assert got == (100, 106, 0)
+    assert len(calls) <= 4  # first window (pess+opt), not ~2000 windows
+    assert max(e for _b, e in calls) <= 4096
+
+
+def test_stream_match_first_span_across_windows():
+    # 'a'*5000 forces doubling past several windows before the 'b'.
+    data = b"x" * 50 + b"a" * 5000 + b"b" + b"y" * 2000
+    arr = np.frombuffer(data, dtype=np.uint8)
+    p = rejit_tpu.Pattern(r"a+b")
+    assert p.match_first_stream(arr, chunk_bytes=512) == (50, 5051)
+    assert p.match_anywhere_stream(arr, chunk_bytes=512) is True
+
+
+def test_stream_match_full():
+    p = rejit_tpu.Pattern(r"a+b")
+    good = np.frombuffer(b"a" * 3000 + b"b", np.uint8)
+    bad_late = np.frombuffer(b"a" * 3000 + b"bz" + b"a" * 3000, np.uint8)
+    bad_early = np.frombuffer(b"za" * 2000, np.uint8)
+    assert p.match_full_stream(good, chunk_bytes=256) is True
+    assert p.match_full_stream(bad_late, chunk_bytes=256) is False
+    assert p.match_full_stream(bad_early, chunk_bytes=256) is False
+    assert p.match_full_stream(np.zeros(0, np.uint8), chunk_bytes=256) is False
+    pn = rejit_tpu.Pattern(r"x*")
+    assert pn.match_full_stream(np.zeros(0, np.uint8), chunk_bytes=256) is True
+
+
 def test_stream_oracle_differential_random():
     rng = np.random.default_rng(11)
     alpha = b"abX "
