@@ -334,12 +334,54 @@ def main():
         help="force the CPU backend (the machine sitecustomize force-"
         "prepends the TPU plugin, so JAX_PLATFORMS=cpu alone is ignored)",
     )
+    ap.add_argument(
+        "--each", action="store_true",
+        help="run every config in its own child process (the tunneled TPU "
+        "worker occasionally crashes mid-run, which poisons the backend "
+        "for the rest of the process; isolation keeps one crash from "
+        "killing the whole matrix) and merge the JSON results",
+    )
+    ap.add_argument("--child-timeout", type=float, default=1200.0)
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     which = {int(x) for x in args.configs.split(",")}
+    if args.each:
+        import subprocess
+        import tempfile
+
+        merged = {}
+        for c in sorted(which):
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--configs", str(c), "--size", str(args.size),
+                       "--json", tf.name]
+                if args.cpu:
+                    cmd.append("--cpu")
+                try:
+                    r = subprocess.run(
+                        cmd, timeout=args.child_timeout,
+                        capture_output=True, text=True,
+                    )
+                    for ln in r.stderr.splitlines():
+                        if "WARNING" not in ln:
+                            log(ln)
+                    if r.returncode == 0:
+                        with open(tf.name) as f:
+                            merged.update(json.load(f))
+                    else:
+                        log(f"config {c}: child rc={r.returncode}")
+                        merged[f"config{c}_error"] = {"rc": r.returncode}
+                except subprocess.TimeoutExpired:
+                    log(f"config {c}: child timeout")
+                    merged[f"config{c}_error"] = {"rc": "timeout"}
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(merged, f, indent=1)
+        print(json.dumps(merged))
+        return
     if args.compare_re:
         compare_python_re(args.size)
     results = run_configs(args.size, which)
