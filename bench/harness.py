@@ -354,29 +354,32 @@ def main():
 
         merged = {}
         for c in sorted(which):
-            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
-                cmd = [sys.executable, os.path.abspath(__file__),
-                       "--configs", str(c), "--size", str(args.size),
-                       "--json", tf.name]
-                if args.cpu:
-                    cmd.append("--cpu")
-                try:
-                    r = subprocess.run(
-                        cmd, timeout=args.child_timeout,
-                        capture_output=True, text=True,
-                    )
-                    for ln in r.stderr.splitlines():
-                        if "WARNING" not in ln:
-                            log(ln)
-                    if r.returncode == 0:
-                        with open(tf.name) as f:
-                            merged.update(json.load(f))
-                    else:
-                        log(f"config {c}: child rc={r.returncode}")
+            for attempt in range(2):  # the worker crash is often transient
+                with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--configs", str(c), "--size", str(args.size),
+                           "--json", tf.name]
+                    if args.cpu:
+                        cmd.append("--cpu")
+                    try:
+                        r = subprocess.run(
+                            cmd, timeout=args.child_timeout,
+                            capture_output=True, text=True,
+                        )
+                        for ln in r.stderr.splitlines():
+                            if "WARNING" not in ln:
+                                log(ln)
+                        if r.returncode == 0:
+                            with open(tf.name) as f:
+                                merged.update(json.load(f))
+                            merged.pop(f"config{c}_error", None)
+                            break
+                        log(f"config {c}: child rc={r.returncode} "
+                            f"(attempt {attempt})")
                         merged[f"config{c}_error"] = {"rc": r.returncode}
-                except subprocess.TimeoutExpired:
-                    log(f"config {c}: child timeout")
-                    merged[f"config{c}_error"] = {"rc": "timeout"}
+                    except subprocess.TimeoutExpired:
+                        log(f"config {c}: child timeout (attempt {attempt})")
+                        merged[f"config{c}_error"] = {"rc": "timeout"}
         if args.json:
             with open(args.json, "w") as f:
                 json.dump(merged, f, indent=1)
