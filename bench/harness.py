@@ -65,14 +65,21 @@ def tchain(step, n, rounds=3):
         int(chain(nv, reps=reps))
         return time.perf_counter() - a
 
-    t(16)  # compile
-    per0 = t(16) / 16  # RTT-inflated estimate, only used to size R2
-    R2 = 64
-    while R2 * per0 < 0.25 and R2 < 16384:
-        R2 *= 2
-    R1 = max(16, R2 // 4)
-    t(R1)
-    t(R2)  # compile both shapes outside timing
+    # Adaptive sizing by doubling: stop before any single program exceeds
+    # ~0.7s — the tunneled worker kills (crashes on) programs that run for
+    # more than a few seconds, which a fixed large R hits when the body is
+    # slower than estimated. Each t() call here is also the shape's compile.
+    R, tR = 16, t(16)
+    pairs = [(R, tR)]
+    while R < 16384 and tR < 0.7:
+        R *= 2
+        tR = t(R)
+        pairs.append((R, tR))
+    if len(pairs) >= 2:
+        R1, R2 = pairs[-2][0], pairs[-1][0]
+    else:  # even 16 reps ran >0.7s: very slow body
+        R1, R2 = 4, 16
+        t(R1)
     best = None
     for _ in range(rounds):
         t1, t2 = t(R1), t(R2)
@@ -146,9 +153,11 @@ def run_configs(size_mb: float, which):
         text = np.frombuffer(corpus, dtype=np.uint8)
         for pat in ("[a-z]+", "foo|bar|baz"):
             p = Pattern(pat, _dfa_cfg())
-            report(f"config2_dfa_{pat}",
-                   tchain(_dfa_step(p, text, jax, jnp), n), n,
+            report(f"config2_mxu_{pat}",
+                   tchain(_mxu_step(p, text, jax, jnp), n), n,
                    f"Q={p.tables.n_states}")
+            report(f"config2_dfa_{pat}",
+                   tchain(_dfa_step(p, text, jax, jnp), n), n)
             report(f"config2_pal_{pat}",
                    tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
         # auto engine for [a-z]+ is the classrun fast path
@@ -173,9 +182,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
-        report("config3_dfa_wb_ing",
-               tchain(_dfa_step(p, text, jax, jnp), n), n,
+        report("config3_mxu_wb_ing",
+               tchain(_mxu_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        report("config3_dfa_wb_ing",
+               tchain(_dfa_step(p, text, jax, jnp), n), n)
         report("config3_pal_wb_ing",
                tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
 
@@ -185,9 +196,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
-        report("config4_tokenizer_L",
-               tchain(_dfa_step(p, text, jax, jnp), n), n,
+        report("config4_mxu_tokenizer",
+               tchain(_mxu_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        report("config4_tokenizer_L",
+               tchain(_dfa_step(p, text, jax, jnp), n), n)
         report("config4_pal_tokenizer",
                tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
         # end-to-end spans incl. host transfer + selection (1 MB: the span
@@ -274,6 +287,21 @@ def _dfa_cfg():
     from rejit_tpu import Config
 
     return Config(engine="dfa", block_size=32)
+
+
+def _mxu_step(p, text, jax, jnp):
+    """step(nv) for the MXU matmul DFA engine (engine/matmul.py)."""
+    n = len(text)
+    block = p.config.block_size
+    from rejit_tpu.engine import matmul as me
+
+    P = ((n + block - 1) // block) * block
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    text_dev = jax.device_put(jnp.asarray(pad))
+    return lambda nv: me.l_arrays_device_matmul(
+        p.ct, text_dev, nv, block=block
+    )[0].max()
 
 
 def _dfa_step(p, text, jax, jnp, pallas=False):

@@ -170,6 +170,15 @@ class Pattern:
                 P=P,
             )
         block = self.config.block_size
+        if self._use_matmul():
+            from .engine import matmul as matmul_engine
+
+            P = _bucket_blocks(max(1, -(-n // block))) * block
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            return matmul_engine.l_arrays_device_matmul(
+                self.ct, jnp.asarray(pad), jnp.int32(n), block=block
+            )
         use_pallas = self._use_pallas()
         if use_pallas:
             from .kernels.dfa_pallas import CHUNK
@@ -200,6 +209,25 @@ class Pattern:
         return pipeline.l_arrays_device(
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
         )
+
+    def _use_matmul(self) -> bool:
+        mode = self.config.matmul
+        if mode == "off" or self.tables is None:
+            return False
+        from .engine.matmul import MAX_BLOCK
+
+        Q, C = self.tables.n_states, self.tables.n_classes
+        fits = (
+            Q <= MAX_BLOCK
+            and self.config.block_size <= MAX_BLOCK
+            and C * Q * Q <= 1 << 20
+        )
+        if mode == "on":
+            assert fits, "pattern too large for the matmul engine"
+            return True
+        import jax
+
+        return fits and jax.default_backend() not in ("cpu",)
 
     def _use_pallas(self) -> bool:
         mode = self.config.pallas

@@ -57,6 +57,12 @@ class Config:
     # 'auto' (on TPU backends), 'on', or 'off'.
     pallas: str = "auto"
 
+    # MXU matmul formulation of the DFA sweep (engine/matmul.py): 'on',
+    # 'off', or 'auto' (on for non-CPU backends when the tables are small
+    # enough that one-hot algebra is profitable). Takes precedence over the
+    # Pallas gather kernels when active.
+    matmul: str = "auto"
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 
