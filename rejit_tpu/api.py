@@ -82,6 +82,7 @@ class Pattern:
         self.engine = self._select_engine()
         self.tables = None
         self.ct = None
+        self._schain_static = None
         self._oracle = None
         self.last_stats: MatchStats = MatchStats()
         if self.engine == "classrun":
@@ -170,6 +171,18 @@ class Pattern:
                 P=P,
             )
         block = self.config.block_size
+        if self._use_schain():
+            from .engine import schain as schain_engine
+
+            if self._schain_static is None:
+                self._schain_static = schain_engine.static_tables(self.tables)
+            P = _bucket_blocks(max(1, -(-n // block))) * block
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            return schain_engine.l_arrays_device_schain(
+                self._schain_static, jnp.asarray(pad), jnp.int32(n),
+                block=block,
+            )
         if self._use_matmul():
             from .engine import matmul as matmul_engine
 
@@ -211,8 +224,10 @@ class Pattern:
         )
 
     def _use_matmul(self) -> bool:
+        # Explicit opt-in only: measured slower than schain at small Q
+        # (MXU utilization ~ Q^2/128^2 — bench/NOTES.md).
         mode = self.config.matmul
-        if mode == "off" or self.tables is None:
+        if mode != "on" or self.tables is None:
             return False
         from .engine.matmul import MAX_BLOCK
 
@@ -222,9 +237,22 @@ class Pattern:
             and self.config.block_size <= MAX_BLOCK
             and C * Q * Q <= 1 << 20
         )
+        assert fits, "pattern too large for the matmul engine"
+        return True
+
+    def _use_schain(self) -> bool:
+        """Gather-free select-chain engine (engine/schain.py): the auto
+        choice on accelerator backends — every dynamic-gather formulation
+        measured 100x+ slower on v5e (bench/NOTES.md)."""
+        mode = self.config.schain
+        if mode == "off" or self.tables is None:
+            return False
+        Q, C = self.tables.n_states, self.tables.n_classes
+        fits = C * Q <= 4096  # select-chain cost ~3*C*Q ops/byte
         if mode == "on":
-            assert fits, "pattern too large for the matmul engine"
             return True
+        if self.config.matmul == "on":
+            return False
         import jax
 
         return fits and jax.default_backend() not in ("cpu",)

@@ -61,7 +61,12 @@ class Config:
     # 'off', or 'auto' (on for non-CPU backends when the tables are small
     # enough that one-hot algebra is profitable). Takes precedence over the
     # Pallas gather kernels when active.
-    matmul: str = "auto"
+    matmul: str = "off"
+
+    # Gather-free select-chain DFA engine (engine/schain.py): 'auto' (on
+    # for non-CPU backends when C*Q is small), 'on', or 'off'. Dynamic
+    # gathers measured ~100x slower than compare/select chains on v5e.
+    schain: str = "auto"
 
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False

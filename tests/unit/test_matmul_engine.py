@@ -1,4 +1,4 @@
-"""MXU matmul engine vs the gather pipeline: bit-equal L/I arrays."""
+"""MXU matmul + select-chain engines vs the gather pipeline: bit-equal."""
 import numpy as np
 import pytest
 
@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import rejit_tpu
 from rejit_tpu.compile import parser
 from rejit_tpu.compile.dfa import compile_patterns
-from rejit_tpu.engine import matmul, pipeline
+from rejit_tpu.engine import matmul, pipeline, schain
 
 PATS = [
     [rb"\b\w+ing\b"],
@@ -21,11 +21,14 @@ PATS = [
 ]
 
 
+@pytest.mark.parametrize("engine", ["matmul", "schain"])
 @pytest.mark.parametrize("pats", PATS, ids=[b"|".join(p).decode() for p in PATS])
 @pytest.mark.parametrize("block", [8, 32])
-def test_matmul_bit_equal(pats, block):
+def test_alt_engine_bit_equal(pats, block, engine):
     rng = np.random.default_rng(hash(tuple(pats)) % 2**32)
-    ct = pipeline.device_tables(compile_patterns([parser.parse(p) for p in pats]))
+    tables = compile_patterns([parser.parse(p) for p in pats])
+    ct = pipeline.device_tables(tables)
+    st = schain.static_tables(tables)
     alpha = b"ab fozX\n"
     for n in (0, 1, 17, 255, 256, 731):
         P = max(block, -(-max(n, 1) // block) * block)
@@ -37,7 +40,14 @@ def test_matmul_bit_equal(pats, block):
         )
         t = jnp.asarray(data)
         L1, I1 = pipeline.l_arrays_device(ct, t, jnp.int32(n), block=block)
-        L2, I2 = matmul.l_arrays_device_matmul(ct, t, jnp.int32(n), block=block)
+        if engine == "matmul":
+            L2, I2 = matmul.l_arrays_device_matmul(
+                ct, t, jnp.int32(n), block=block
+            )
+        else:
+            L2, I2 = schain.l_arrays_device_schain(
+                st, t, jnp.int32(n), block=block
+            )
         np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2),
                                       err_msg=f"L n={n}")
         np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2),
