@@ -153,9 +153,11 @@ def run_configs(size_mb: float, which):
         text = np.frombuffer(corpus, dtype=np.uint8)
         for pat in ("[a-z]+", "foo|bar|baz"):
             p = Pattern(pat, _dfa_cfg())
-            report(f"config2_mxu_{pat}",
-                   tchain(_mxu_step(p, text, jax, jnp), n), n,
+            report(f"config2_sch_{pat}",
+                   tchain(_schain_step(p, text, jax, jnp), n), n,
                    f"Q={p.tables.n_states}")
+            report(f"config2_mxu_{pat}",
+                   tchain(_mxu_step(p, text, jax, jnp), n), n)
             report(f"config2_dfa_{pat}",
                    tchain(_dfa_step(p, text, jax, jnp), n), n)
             report(f"config2_pal_{pat}",
@@ -182,9 +184,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
-        report("config3_mxu_wb_ing",
-               tchain(_mxu_step(p, text, jax, jnp), n), n,
+        report("config3_sch_wb_ing",
+               tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        report("config3_mxu_wb_ing",
+               tchain(_mxu_step(p, text, jax, jnp), n), n)
         report("config3_dfa_wb_ing",
                tchain(_dfa_step(p, text, jax, jnp), n), n)
         report("config3_pal_wb_ing",
@@ -196,9 +200,11 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
-        report("config4_mxu_tokenizer",
-               tchain(_mxu_step(p, text, jax, jnp), n), n,
+        report("config4_sch_tokenizer",
+               tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        report("config4_mxu_tokenizer",
+               tchain(_mxu_step(p, text, jax, jnp), n), n)
         report("config4_tokenizer_L",
                tchain(_dfa_step(p, text, jax, jnp), n), n)
         report("config4_pal_tokenizer",
@@ -287,6 +293,22 @@ def _dfa_cfg():
     from rejit_tpu import Config
 
     return Config(engine="dfa", block_size=32)
+
+
+def _schain_step(p, text, jax, jnp):
+    """step(nv) for the gather-free select-chain engine (engine/schain.py)."""
+    n = len(text)
+    block = p.config.block_size
+    from rejit_tpu.engine import schain as se
+
+    st = se.static_tables(p.tables)
+    P = ((n + block - 1) // block) * block
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    text_dev = jax.device_put(jnp.asarray(pad))
+    return lambda nv: se.l_arrays_device_schain(
+        st, text_dev, nv, block=block
+    )[0].max()
 
 
 def _mxu_step(p, text, jax, jnp):
