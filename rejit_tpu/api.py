@@ -20,6 +20,7 @@ import numpy as np
 from .compile import analysis, parser
 from .compile import ir as ir_mod
 from .compile.dfa import compile_patterns
+from .errors import CompileError
 from .config import Config, DEFAULT
 from .engine import pipeline, select, select_device, spans
 from .kernels import classrun as classrun_kernel
@@ -37,7 +38,11 @@ def text_to_u8(text: TextLike) -> np.ndarray:
     if isinstance(text, (bytes, bytearray)):
         return np.frombuffer(bytes(text), dtype=np.uint8)
     arr = np.asarray(text)
-    assert arr.dtype == np.uint8 and arr.ndim == 1
+    if arr.dtype != np.uint8 or arr.ndim != 1:
+        raise TypeError(
+            f"text must be str/bytes or a 1-D uint8 array, got "
+            f"{arr.dtype} array of rank {arr.ndim}"
+        )
     return arr
 
 
@@ -134,7 +139,22 @@ class Pattern:
     def _select_engine(self) -> str:
         cfg = self.config
         if cfg.engine is not None:
-            return cfg.engine
+            eng = cfg.engine
+            if eng not in ("literal", "classrun", "dfa", "oracle"):
+                raise CompileError(f"unknown engine {eng!r}")
+            if eng == "literal" and not self.info.literals:
+                raise CompileError(
+                    "pattern is not a literal alternation; cannot force "
+                    "the literal engine"
+                )
+            if eng == "classrun" and not (
+                len(self.irs) == 1 and classrun_kernel.detect(self.irs[0])
+            ):
+                raise CompileError(
+                    "pattern is not a single char-class repetition; cannot "
+                    "force the classrun engine"
+                )
+            return eng
         if self.info.literals:
             return "literal"
         if len(self.irs) == 1 and classrun_kernel.detect(self.irs[0]):
@@ -171,6 +191,24 @@ class Pattern:
                 P=P,
             )
         block = self.config.block_size
+        if self._use_schain_fused():
+            from .engine import schain as schain_engine
+            from .kernels import schain_pallas
+
+            if self._schain_static is None:
+                self._schain_static = schain_engine.static_tables(self.tables)
+            grain = block * 8 * schain_pallas.DEFAULT_CHL
+            P = _bucket_blocks(max(1, -(-n // grain))) * grain
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            return schain_pallas.l_arrays_device_schain_fused(
+                self._schain_static,
+                self.tables.n_patterns,
+                jnp.asarray(pad),
+                jnp.int32(n),
+                block=block,
+                interpret=self.config.interpret,
+            )
         if self._use_schain():
             from .engine import schain as schain_engine
 
@@ -237,8 +275,47 @@ class Pattern:
             and self.config.block_size <= MAX_BLOCK
             and C * Q * Q <= 1 << 20
         )
-        assert fits, "pattern too large for the matmul engine"
+        if not fits:
+            raise CompileError(
+                f"pattern too large for the matmul engine "
+                f"(Q={Q}, C={C}, block={self.config.block_size}); use "
+                "Config(matmul='off') to fall back to the DFA engines"
+            )
         return True
+
+    def _use_schain_fused(self) -> bool:
+        """VMEM-fused select-chain kernel (kernels/schain_pallas.py): the
+        preferred accelerator engine — the select-chain scan without the
+        per-byte HBM carry round-trip (bench/NOTES.md round-2 lever)."""
+        mode = self.config.schain_fused
+        if mode == "off" or self.tables is None:
+            return False
+        from .kernels.schain_pallas import MAX_Q
+
+        Q, C = self.tables.n_states, self.tables.n_classes
+        mb = (self.config.block_size + 1).bit_length()
+        fits = (
+            Q <= MAX_Q
+            and (Q - 1) < (1 << (31 - mb))
+            and C * Q <= 4096
+            and self.tables.n_patterns < 255
+        )
+        if mode == "on":
+            if not fits:
+                raise CompileError(
+                    f"tables too large for the fused select-chain kernel "
+                    f"(Q={Q}, C={C})"
+                )
+            return True
+        if self.config.matmul == "on" or self.config.schain == "on":
+            return False
+        if self.config.pallas != "auto":  # explicit engine choice wins
+            return False
+        import jax
+
+        return fits and (
+            jax.default_backend() not in ("cpu",) or self.config.interpret
+        )
 
     def _use_schain(self) -> bool:
         """Gather-free select-chain engine (engine/schain.py): the auto
@@ -280,25 +357,72 @@ class Pattern:
 
     # -- MatchType API ------------------------------------------------------
 
+    def _record(self, op, n_bytes, n_matches, t_dev, t_all, n_cand=0,
+                t_sel=0.0):
+        self.last_stats = MatchStats(
+            engine=self.engine,
+            op=op,
+            n_bytes=n_bytes,
+            n_candidates=n_cand,
+            n_matches=n_matches,
+            device_time_s=t_dev,
+            select_time_s=t_sel,
+            total_time_s=t_all,
+        )
+
     def match_full(self, text: TextLike) -> bool:
         t = text_to_u8(text)
         if self._oracle:
             return self._oracle.match_full(t.tobytes())
-        L, _ = self._l_i_device(t)
-        return int(L[0]) == len(t)
+        with Timer() as t_all:
+            with Timer() as t_dev:
+                L, _ = self._l_i_device(t)
+            got = int(L[0]) == len(t)
+        self._record("match_full", len(t), int(got), t_dev.elapsed,
+                     t_all.elapsed)
+        return got
 
     def match_anywhere(self, text: TextLike) -> bool:
         t = text_to_u8(text)
         if self._oracle:
             return self._oracle.match_anywhere(t.tobytes())
-        L, _ = self._l_i_device(t)
-        return int(spans.candidate_count(L)) > 0
+        if self.engine == "dfa" and len(t) > self.config.first_window:
+            with Timer() as t_all:
+                got = self.match_anywhere_stream(
+                    t, chunk_bytes=self.config.first_window
+                )
+            self._record("match_anywhere", len(t), int(got), 0.0,
+                         t_all.elapsed)
+            return got
+        with Timer() as t_all:
+            with Timer() as t_dev:
+                L, _ = self._l_i_device(t)
+            c = int(spans.candidate_count(L))
+        self._record("match_anywhere", len(t), int(c > 0), t_dev.elapsed,
+                     t_all.elapsed, n_cand=c)
+        return c > 0
 
     def match_first(self, text: TextLike) -> Optional[Span]:
         t = text_to_u8(text)
         if self._oracle:
             return self._oracle.match_first(t.tobytes())
-        pos, end, _ = self._candidates(t)
+        # Early exit: work scales with the distance to the first match
+        # (doubling windows, engine/stream.py), not the text length —
+        # rejit's MatchFirst stops at the first verified hit
+        # (SURVEY.md §3.3).
+        if self.engine == "dfa" and len(t) > self.config.first_window:
+            with Timer() as t_all:
+                m = self.match_first_stream(
+                    t, chunk_bytes=self.config.first_window
+                )
+            self._record("match_first", len(t), int(m is not None), 0.0,
+                         t_all.elapsed)
+            return m
+        with Timer() as t_all:
+            with Timer() as t_dev:
+                pos, end, _ = self._candidates(t)
+        self._record("match_first", len(t), int(len(pos) > 0),
+                     t_dev.elapsed, t_all.elapsed, n_cand=len(pos))
         if len(pos) == 0:
             return None
         return (int(pos[0]), int(end[0]))

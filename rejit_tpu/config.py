@@ -48,6 +48,12 @@ class Config:
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False
 
+    # In-memory MatchFirst/MatchAnywhere on DFA patterns route through the
+    # early-exit doubling-window scan (engine/stream.py) above this size,
+    # so work scales with the first-match distance, not the text length
+    # (rejit MatchFirst semantics, SURVEY.md §3.3).
+    first_window: int = 1 << 20
+
     # Above this many candidates, MatchAll selection runs on device
     # (pointer doubling, engine/select_device.py) so host transfer stays
     # O(#matches) instead of O(#candidates).
@@ -67,6 +73,12 @@ class Config:
     # for non-CPU backends when C*Q is small), 'on', or 'off'. Dynamic
     # gathers measured ~100x slower than compare/select chains on v5e.
     schain: str = "auto"
+
+    # VMEM-fused select-chain kernel (kernels/schain_pallas.py): the
+    # round-2 performance engine — the select-chain scan with carries
+    # resident in VMEM across all K byte-steps. 'auto' (preferred on
+    # non-CPU backends when the tables fit), 'on', or 'off'.
+    schain_fused: str = "auto"
 
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
@@ -89,10 +101,18 @@ class Config:
             max_dfa_states=_env_int("REJIT_TPU_MAX_DFA_STATES", 4096),
             selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
             disk_cache=_env_bool("REJIT_TPU_DISK_CACHE", False),
+            device_select_threshold=_env_int(
+                "REJIT_TPU_DEVICE_SELECT_THRESHOLD", 65536
+            ),
+            first_window=_env_int("REJIT_TPU_FIRST_WINDOW", 1 << 20),
             pallas=os.environ.get("REJIT_TPU_PALLAS", "auto"),
+            matmul=os.environ.get("REJIT_TPU_MATMUL", "off"),
+            schain=os.environ.get("REJIT_TPU_SCHAIN", "auto"),
+            schain_fused=os.environ.get("REJIT_TPU_SCHAIN_FUSED", "auto"),
             interpret=_env_bool("REJIT_TPU_INTERPRET", False),
             print_tree=_env_bool("REJIT_TPU_PRINT_TREE", False),
             print_tables=_env_bool("REJIT_TPU_PRINT_TABLES", False),
+            mesh_axis=os.environ.get("REJIT_TPU_MESH_AXIS", "data"),
         )
         return dataclasses.replace(base, **overrides)
 

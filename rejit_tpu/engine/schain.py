@@ -37,9 +37,6 @@ import numpy as np
 from ..compile.dfa import DFATables
 from . import pipeline
 
-MAX_BLOCK = 1 << 30  # no bf16 constraint here; any K works
-
-
 def _runs(table: np.ndarray):
     """Run-length encode a 256-entry table -> ((lo, hi, value), ...)."""
     out = []
@@ -129,6 +126,55 @@ def _suffix_scan_schain(summaries, tail):
     return S
 
 
+def finish_scan(
+    L_bk, I_bk, F_bk, m_f, i_f, f_f, *, accept_eot, start_eot, n, K
+):
+    """Phase 2 + tail splice shared by the XLA and fused-Pallas scans.
+
+    L_bk/I_bk/F_bk: (nb, K) per-boundary emissions (L block-relative);
+    m_f/i_f/f_f: (nb, Q) final block summaries (m block-relative);
+    accept_eot: static tuple; start_eot: device scalar (state at boundary P).
+    Returns (L, I) of length P+1 with entries past n masked to -1.
+    """
+    nb, Kk = L_bk.shape
+    assert Kk == K
+    Q = f_f.shape[1]
+    P = nb * K
+
+    base = jnp.arange(nb, dtype=jnp.int32) * K
+    m1 = jnp.where(m_f >= 0, base[:, None] + m_f, -1)
+    eot = (
+        jnp.arange(Q, dtype=jnp.int32),
+        jnp.where(jnp.asarray(accept_eot, jnp.int32) >= 0, n, -1).astype(
+            jnp.int32
+        ),
+        jnp.asarray(accept_eot, jnp.int32),
+    )
+    suf = _suffix_scan_schain((f_f, m1, i_f), eot)
+
+    # Tail splice via Q-term selects on (nb, K).
+    m_tail = jnp.full((nb, K), -1, jnp.int32)
+    i_tail = jnp.full((nb, K), -1, jnp.int32)
+    for q in range(Q):
+        sel = F_bk == q
+        m_tail = jnp.where(sel, suf[1][:, q][:, None], m_tail)
+        i_tail = jnp.where(sel, suf[2][:, q][:, None], i_tail)
+    L_loc = jnp.where(L_bk >= 0, base[:, None] + L_bk, -1)
+    later = m_tail >= 0
+    L = jnp.where(later, m_tail, L_loc).reshape(P)
+    I = jnp.where(later, i_tail, I_bk).reshape(P)
+
+    ae = jnp.asarray(accept_eot, jnp.int32)
+    eot_pid = _sel_q(start_eot[None, None], ae[None, :])[0, 0]
+    L_P = jnp.where(eot_pid >= 0, n, -1).astype(jnp.int32)
+    L = jnp.concatenate([L, L_P[None]])
+    I = jnp.concatenate([I, eot_pid[None]])
+    bidx = jnp.arange(P + 1, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    I = jnp.where(bidx <= n, I, -1)
+    return L, I
+
+
 @functools.partial(jax.jit, static_argnames=("st", "block"))
 def l_arrays_device_schain(
     st,
@@ -211,39 +257,7 @@ def l_arrays_device_schain(
         step, (m0, i0, f0),
         (cls_kb[::-1], pos_kb[::-1], startsb[::-1], kb),
     )
-    L_rows = L_r[::-1]
-    I_rows = I_r[::-1]
-    F_rows = F_r[::-1]
-
-    base = jnp.arange(nb, dtype=jnp.int32) * K
-    m1 = jnp.where(m_f >= 0, base[:, None] + m_f, -1)
-    eot = (
-        jnp.arange(Q, dtype=jnp.int32),
-        jnp.where(jnp.asarray(accept_eot, jnp.int32) >= 0, n, -1).astype(
-            jnp.int32
-        ),
-        jnp.asarray(accept_eot, jnp.int32),
+    return finish_scan(
+        L_r[::-1].T, I_r[::-1].T, F_r[::-1].T, m_f, i_f, f_f,
+        accept_eot=accept_eot, start_eot=start_eot, n=n, K=K,
     )
-    suf = _suffix_scan_schain((f_f, m1, i_f), eot)
-
-    # Tail splice via Q-term selects on (K, nb).
-    m_tail = jnp.full((K, nb), -1, jnp.int32)
-    i_tail = jnp.full((K, nb), -1, jnp.int32)
-    for q in range(Q):
-        sel = F_rows == q
-        m_tail = jnp.where(sel, suf[1][:, q][None, :], m_tail)
-        i_tail = jnp.where(sel, suf[2][:, q][None, :], i_tail)
-    L_loc = jnp.where(L_rows >= 0, base[None, :] + L_rows, -1)
-    later = m_tail >= 0
-    L = jnp.where(later, m_tail, L_loc).T.reshape(P)
-    I = jnp.where(later, i_tail, I_rows).T.reshape(P)
-
-    ae = jnp.asarray(accept_eot, jnp.int32)
-    eot_pid = _sel_q(start_eot[None, None], ae[None, :])[0, 0]
-    L_P = jnp.where(eot_pid >= 0, n, -1).astype(jnp.int32)
-    L = jnp.concatenate([L, L_P[None]])
-    I = jnp.concatenate([I, eot_pid[None]])
-    bidx = jnp.arange(P + 1, dtype=jnp.int32)
-    L = jnp.where(bidx <= n, L, -1)
-    I = jnp.where(bidx <= n, I, -1)
-    return L, I

@@ -1,0 +1,92 @@
+"""VMEM-fused select-chain kernel == XLA select-chain == gather pipeline.
+
+All three DFA formulations must be bit-equal (CLAUDE.md design invariant);
+the fused kernel additionally goes through the oracle differential via the
+API test (`test_api_conformance_fused`).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rejit_tpu import Config, Pattern
+from rejit_tpu.compile import parser
+from rejit_tpu.compile.dfa import compile_patterns
+from rejit_tpu.engine import pipeline, schain
+from rejit_tpu.kernels import schain_pallas
+from rejit_tpu.oracle import OraclePattern
+
+PATS = [
+    [rb"\b\w+ing\b"],
+    [rb"[a-z]+"],
+    [rb"foo|bar|baz"],
+    [rb"a*"],
+    [rb"^line.*$"],
+    [rb"\w+", rb"\s+", rb"[^\w\s]+"],   # multi-pattern (track_pid path)
+]
+
+SOUP = np.frombuffer(b"abc defoo barbaz ing singing\n working!", np.uint8)
+
+
+def _setup(pats, K=8, CHL=8, chunks=2):
+    t = compile_patterns([parser.parse(p) for p in pats])
+    st = schain.static_tables(t)
+    P = K * 8 * CHL * chunks
+    rng = np.random.default_rng(hash(tuple(pats)) % 2**32)
+    text = rng.choice(SOUP, size=P).astype(np.uint8)
+    return t, st, text, P, K, CHL
+
+
+@pytest.mark.parametrize(
+    "pats", PATS, ids=["+".join(p.decode() for p in ps) for ps in PATS]
+)
+def test_fused_equals_schain_and_pipeline(pats):
+    t, st, text, P, K, CHL = _setup(pats)
+    ct = pipeline.device_tables(t)
+    for n in [P, P - 3, P // 2 + 1, 1, 0]:
+        L0, I0 = pipeline.l_arrays_device(
+            ct, jnp.asarray(text), jnp.int32(n), block=K
+        )
+        L1, I1 = schain.l_arrays_device_schain(
+            st, jnp.asarray(text), jnp.int32(n), block=K
+        )
+        L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+            st, t.n_patterns, jnp.asarray(text), jnp.int32(n),
+            block=K, chl=CHL, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+        np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+        np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
+
+def test_fused_block_sizes():
+    """K = 16/32 (the production block sizes) stay bit-equal."""
+    for K in (16, 32):
+        t, st, text, P, _, CHL = _setup([rb"\b\w+ing\b"], K=K, chunks=1)
+        L1, I1 = schain.l_arrays_device_schain(
+            st, jnp.asarray(text), jnp.int32(P - 5), block=K
+        )
+        L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+            st, 1, jnp.asarray(text), jnp.int32(P - 5),
+            block=K, chl=CHL, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
+
+def test_api_conformance_fused():
+    """Public API with the fused engine forced matches the oracle."""
+    cfg = Config(engine="dfa", schain_fused="on", interpret=True,
+                 block_size=8)
+    for pats in ([rb"\b\w+ing\b"], [rb"\w+", rb"\s+"]):
+        p = Pattern([x.decode() for x in pats], cfg)
+        assert p._use_schain_fused()
+        o = OraclePattern(list(pats))
+        text = bytes(
+            np.random.default_rng(7).choice(SOUP, size=700).tolist()
+        )
+        assert p.match_all(text) == [
+            (s, e) for s, e, _ in o.match_all_ids(text)
+        ]
+        assert p.match_first(text) == o.match_first(text)
+        assert p.match_anywhere(text) == o.match_anywhere(text)

@@ -127,8 +127,9 @@ def main(argv=None) -> int:
     pat = Pattern(args.pattern, cfg)
 
     any_match = False
-    multi = len(list(iter_files(args.files, args.recurse))) > 1
-    for path in iter_files(args.files, args.recurse):
+    files = list(iter_files(args.files, args.recurse))
+    multi = len(files) > 1
+    for path in files:
         try:
             if args.mmap or args.stream is not None:
                 text = np.memmap(path, dtype=np.uint8, mode="r")
