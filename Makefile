@@ -1,5 +1,10 @@
 # Convenience targets (build system parity: reference used SCons — SURVEY.md §2.1/C9)
-.PHONY: test native bench bench-matrix conformance clean
+.PHONY: test native bench bench-matrix conformance verify-tpu clean
+
+# On-TPU parity gate: fused/schain/pipeline bit-equality + conformance
+# subset on the real chip. Run before every bench round (VERDICT r1 #7).
+verify-tpu:
+	python tools/verify_tpu.py
 
 test:
 	python -m pytest tests/ -x -q

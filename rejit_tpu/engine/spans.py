@@ -46,6 +46,34 @@ def _bucket_cap(c: int) -> int:
     return cap
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "overlap_free"))
+def spans_device(
+    L: jnp.ndarray, I: jnp.ndarray, *, cap: int, overlap_free: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full span production ON DEVICE: (starts, ends, pids, n_selected).
+
+    The honest spans-out MatchAll program (bench headline): candidate
+    compaction plus, for patterns whose matches can overlap, the
+    pointer-doubling non-overlap selection (engine/select_device.py).
+    `cap` must be >= the candidate count (two-phase sizing). For
+    overlap-free patterns every candidate is a match and selection is the
+    identity — that IS the algorithm, not a shortcut (the analysis proves
+    no two candidate spans can overlap)."""
+    if overlap_free:
+        pos, end, pid = compact_device(L, I, cap=cap)
+        n_sel = jnp.sum(pos >= 0, dtype=jnp.int32)
+        return pos, end, pid, n_sel
+    from . import select_device
+
+    sel, pos, end, pid, n_sel = select_device.selection_mask_device(
+        L, I, cap=cap
+    )
+    s, e, p = select_device.compact_selected_device(
+        sel, pos, end, pid, out_cap=cap
+    )
+    return s, e, p, n_sel
+
+
 def candidates_host(
     L_dev: jnp.ndarray, I_dev: jnp.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

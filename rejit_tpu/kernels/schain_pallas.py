@@ -1,36 +1,45 @@
-"""VMEM-fused select-chain DFA kernel (the round-2 performance engine).
+r"""VMEM-fused select-chain DFA engine: the whole match pipeline one kernel.
 
-The XLA select-chain engine (engine/schain.py) eliminated dynamic gathers
-but still round-trips its (nb, Q) carries through HBM on every byte-step
-(~170 B of carry traffic per text byte) and pays XLA per-op materialization;
-it measured 0.40 GB/s on the 10 MB `\\b\\w+ing\\b` corpus (bench/NOTES.md).
-This kernel runs the same backward scan with every carry resident in
-VMEM/vregs across all K statically-unrolled steps. The remaining traffic is
-"read each text byte once (uint8), write the per-boundary emission once".
+Round-2 measurement history (bench/NOTES.md): the XLA select-chain engine
+(engine/schain.py) reads 0.40 GB/s on the 10 MB `\b\w+ing\b` corpus; a first
+fused kernel that kept only the K-byte-step scan in VMEM measured the scan
+at **131 GB/s** while the XLA phase-2 suffix scan + tail splice consumed
+12.2 of the 12.3 ms total. So this kernel internalizes *everything*:
 
-Design (measured rationale in bench/NOTES.md and the round-1 layout notes):
+  grid step = one chunk of CH = 8*CHL blocks, executed RIGHT-TO-LEFT —
+  a TPU Pallas grid runs sequentially on the TensorCore, so the global
+  suffix state (Q per-state scalars) carries across grid steps in SMEM
+  scratch, exactly like a matmul accumulator carries across k-steps:
 
-  * one grid step owns CH = 8*CHL text blocks laid out as full (8, CHL)
-    vreg tiles — every elementwise op runs at 100% VPU lane utilization
-    (the (1, nb) row layout wastes 7/8 of the sublanes);
-  * the per-state carries are Q *separate* (8, CHL) arrays, so the static
-    column permutation `carry[:, next[:, c]]` of engine/schain.py becomes
-    Python list reindexing — zero shuffle instructions;
-  * (f, m) are packed into one int32 per state (`f << mb | m+1`), halving
-    the per-class blend to one select per (class, state); the byte-class
-    partition is disjoint, so blends against the *dominant* class are
-    skipped entirely (the dominant class is the chain's default branch);
-  * byte classification, accept flags, and start-state selection are
-    computed in-kernel from the raw uint8 text with range compares —
-    no 256-entry lookup tables, no precomputed class arrays in HBM;
-  * per-boundary L/F emission is packed into one int32 output row.
+    1. backward K-step select-chain scan over the chunk's blocks
+       (carries in VMEM/vregs; per-boundary emissions stashed in VMEM);
+    2. cross-column Hillis-Steele suffix scan INSIDE the kernel
+       (lane/sublane rolls over the (8, CHL) tiles), seeded at the right
+       edge with the carried global suffix;
+    3. tail splice per boundary -> absolute L (and I) tiles out;
+    4. the chunk's total summary is composed into the SMEM carry for the
+       next (leftward) chunk.
 
-Bit-equal to engine/schain.py's scan (tests/kernels/test_schain_pallas.py
-checks all three engines against each other and the oracle).
+  XLA's only remaining work is the text tiling transpose, the output
+  untiling, and the EOT boundary row — no (nb, Q) arrays ever reach HBM.
 
-Capability reference: this is the TPU replacement for rejit's generated
-match loops (rejit:src/x64/codegen-x64.cc state-ring hot loops, unverified
-recall — SURVEY.md §2.2, §3.1).
+Layout/trick inventory (all measured round-1/2, see bench/NOTES.md):
+  * blocks on full (8, CHL) vreg tiles — 100% VPU lane utilization;
+  * per-state carries as separate Python-list arrays, so the select-chain's
+    static column permutation is list reindexing (zero shuffles);
+  * (f, m) packed one int32 per state: `f << mb | m_rel+1` in the scan,
+    `f << 27 | m_abs+1` in the suffix algebra (=> P < 2^27, Q <= 16);
+  * byte classes / accept bits / start states from raw uint8 text via
+    range compares in-kernel — no lookup tables, no class arrays in HBM;
+  * dominant byte class is the blend's default branch: one select per
+    (class, state) minus every (class, state) agreeing with the dominant.
+
+Bit-equal to engine/schain.py and engine/pipeline.py
+(tests/kernels/test_schain_pallas.py; on-TPU gate: tools/verify_tpu.py).
+
+Capability reference: replaces rejit's generated match loops
+(rejit:src/x64/codegen-x64.cc state-ring hot loops, unverified recall —
+SURVEY.md §2.2, §3.1).
 """
 from __future__ import annotations
 
@@ -46,7 +55,11 @@ from ..engine import schain as schain_mod
 
 DEFAULT_CHL = 128   # lane-columns per grid step; CH = 8*CHL blocks/step
 
-MAX_Q = 30          # accept bitmask must fit an int32 bit-plane
+MAX_Q = 16          # f must fit above bit 27 in the packed suffix algebra
+MAX_P = (1 << 27) - 2   # absolute positions live in bits [0, 27)
+
+_M27 = (1 << 27) - 1
+_NEG = -(1 << 31) + 1
 
 
 def _runs_by_value(runs):
@@ -86,8 +99,8 @@ def _plan(st, K: int):
     cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
     C = len(nxt_cols)
     Q = len(nxt_cols[0])
-    mb = (K + 1).bit_length()          # bits for m+1 in [0, K]
-    assert Q <= MAX_Q and (Q - 1) < (1 << (31 - mb))
+    mb = (K + 1).bit_length()          # bits for m_rel+1 in [0, K]
+    assert Q <= MAX_Q
     class_runs = _runs_by_value(cls_runs)
     # Dominant class = the chain's default branch. Prefer a non-accepting
     # class (its accept blend then needs no complement mask).
@@ -109,26 +122,97 @@ def _plan(st, K: int):
         C=C, Q=Q, mb=mb, dom=dom,
         class_runs=class_runs, nxt_cols=nxt_cols, acc_cols=acc_cols,
         s_def=s_def, s_rest=s_rest, srun_by_state=srun_by_state, us0=us0,
+        accept_eot=tuple(accept_eot),
     )
 
 
-def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
-            K, CHL, plan, track_pid):
+def _dom_complement(masks, b):
+    m = None
+    for m_o in masks.values():
+        m = m_o if m is None else (m | m_o)
+    return ~m if m is not None else (b >= 0)
+
+
+def _sel_scalar(t, vals, default=0):
+    """Scalar select chain: vals[t] for a traced scalar t."""
+    out = jnp.int32(default)
+    for q, v in enumerate(vals):
+        out = jnp.where(t == q, v, out)
+    return out
+
+
+def _shift_cols(x, d, CHL, srow, lcol, fill):
+    """x at column j+d (j = srow*CHL + lcol), `fill` past the last column.
+
+    `fill` is a scalar (or broadcastable) value shifted in at j+d >= CH."""
+    # jnp.roll semantics: y[i] = x[i-shift]; we want y[i] = x[i+d], i.e.
+    # shift = size - d (non-negative as required). NOTE: pltpu.roll
+    # misexecutes in interpret mode inside this composed graph (observed
+    # 2026-08-17: level-2 combine of the doubling scan corrupted with
+    # pltpu.roll, bit-correct with jnp.roll); jnp.roll lowers to the same
+    # Mosaic rotate on real TPUs, so use it unconditionally.
+    if d < CHL:
+        a = jnp.roll(x, CHL - d, axis=1)
+        b = jnp.roll(a, 7, axis=0)
+        y = jnp.where(lcol < CHL - d, a, b)
+        return jnp.where((srow == 7) & (lcol >= CHL - d), fill, y)
+    m = d // CHL
+    assert d == m * CHL
+    y = jnp.roll(x, 8 - m, axis=0)
+    return jnp.where(srow >= 8 - m, fill, y)
+
+
+def _combine_packed(A, B, Ai=None, Bi=None, Q=None):
+    """Suffix-compose packed (f<<27|m+1) lists: A earlier, B later."""
+    out = []
+    outi = [] if Ai is not None else None
+    for q in range(Q):
+        t = A[q] >> 27
+        cmps = [t == qq for qq in range(Q)]
+        r = B[0]
+        for qq in range(1, Q):
+            r = jnp.where(cmps[qq], B[qq], r)
+        mbp = r & _M27
+        later = mbp > 0
+        out.append(jnp.where(later, r, (r & ~_M27) | (A[q] & _M27)))
+        if Ai is not None:
+            ri = Bi[0]
+            for qq in range(1, Q):
+                ri = jnp.where(cmps[qq], Bi[qq], ri)
+            outi.append(jnp.where(later, ri, Ai[q]))
+    return out, outi
+
+
+def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
+            nbc):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
+    CH = 8 * CHL
     if track_pid:
-        ip_ref, isum_ref = refs
+        (L_ref, I_ref, sel_scr, isel_scr, g_scr) = refs
+    else:
+        (L_ref, sel_scr, g_scr) = refs
 
     n = n_ref[0]
-    ch = pl.program_id(0)
+    step = pl.program_id(0)
+    ch = nbc - 1 - step                                 # right-to-left
     t32 = text_ref[:].astype(jnp.int32)                 # (K*8, CHL)
     srow = jax.lax.broadcasted_iota(jnp.int32, (8, CHL), 0)
     lcol = jax.lax.broadcasted_iota(jnp.int32, (8, CHL), 1)
-    posK = (ch * (8 * CHL) + srow * CHL + lcol) * K     # block byte base
+    posK = (ch * CH + srow * CHL + lcol) * K            # block byte base
 
-    # Packed carries: pk[q] = f << mb | (m+1); suffix-identity seed.
+    # Rightmost chunk seeds the global suffix with the EOT summary.
+    @pl.when(step == 0)
+    def _():
+        for q in range(Q):
+            g_scr[0, q] = q                              # f = identity
+            aq = plan["accept_eot"][q]
+            g_scr[1, q] = jnp.where(aq >= 0, n, -1)      # m
+            g_scr[2, q] = jnp.int32(aq)                  # i
+
+    # ---- 1. backward K-step select-chain scan --------------------------
     pk = [jnp.full((8, CHL), q << mb, jnp.int32) for q in range(Q)]
     if track_pid:
         pi = [jnp.full((8, CHL), -1, jnp.int32) for _ in range(Q)]
@@ -140,9 +224,6 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
             for cc in range(C)
             if cc != dom and cc in plan["class_runs"]
         }
-        # Blend the packed carries: dominant class is the default branch;
-        # per-(class, state) selects are skipped when the class agrees
-        # with the dominant transition (masks are disjoint).
         g = [pk[nxt[dom][q]] for q in range(Q)]
         if track_pid:
             gi = [pi[nxt[dom][q]] for q in range(Q)]
@@ -152,7 +233,6 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
                     g[q] = jnp.where(mcc, pk[nxt[cc][q]], g[q])
                     if track_pid:
                         gi[q] = jnp.where(mcc, pi[nxt[cc][q]], gi[q])
-        # Accept bit-plane for this byte (bit q = fresh accept from q).
         hv = None
         for cc in range(C):
             bits = 0
@@ -160,15 +240,9 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
                 if acc[cc][q] >= 0:
                     bits |= 1 << q
             if bits:
-                if cc == dom:
-                    # Rare (every class accepts): dominant mask is the
-                    # complement of all the others.
-                    mcc = None
-                    for m_o in masks.values():
-                        mcc = m_o if mcc is None else (mcc | m_o)
-                    mcc = ~mcc if mcc is not None else (b >= 0)
-                else:
-                    mcc = masks[cc]
+                mcc = (
+                    _dom_complement(masks, b) if cc == dom else masks[cc]
+                )
                 hv = (
                     jnp.where(mcc, bits, hv)
                     if hv is not None
@@ -189,13 +263,10 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
                 fresh = None
                 for cc in range(C):
                     if acc[cc][q] >= 0:
-                        if cc == dom:
-                            mcc = None
-                            for m_o in masks.values():
-                                mcc = m_o if mcc is None else (mcc | m_o)
-                            mcc = ~mcc if mcc is not None else (b >= 0)
-                        else:
-                            mcc = masks[cc]
+                        mcc = (
+                            _dom_complement(masks, b)
+                            if cc == dom else masks[cc]
+                        )
                         fresh = (
                             jnp.where(mcc, acc[cc][q], fresh)
                             if fresh is not None
@@ -206,7 +277,8 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
                 inew = jnp.where(later, gi[q], fresh)
                 pi[q] = jnp.where(valid, inew, pi[q])
 
-        # Boundary-k emission at the boundary's start state.
+        # Boundary-k emission at the boundary's start state (stashed for
+        # the post-scan splice).
         if len(plan["s_rest"]) == 0 and len(plan["us0"]) == 1:
             sel = pk[plan["s_def"]]
             isel = pi[plan["s_def"]] if track_pid else None
@@ -228,15 +300,247 @@ def _kernel(n_ref, sk0_ref, text_ref, lf_ref, sum_ref, *refs,
                 sel = jnp.where(mu, pk[us], sel)
                 if track_pid:
                     isel = jnp.where(mu, pi[us], isel)
-        # Packed emission: F << mb | (L_rel + 1).
-        lf_ref[k * 8:(k + 1) * 8, :] = sel
+        sel_scr[k * 8:(k + 1) * 8, :] = sel
         if track_pid:
-            ip_ref[k * 8:(k + 1) * 8, :] = isel
+            isel_scr[k * 8:(k + 1) * 8, :] = isel
 
+    # ---- 2. in-kernel cross-column suffix scan -------------------------
+    # Absolute-position packed block summaries: f << 27 | (m_abs + 1).
+    S = []
+    Si = [] if track_pid else None
     for q in range(Q):
-        sum_ref[q * 8:(q + 1) * 8, :] = pk[q]
+        mrel = pk[q] & MMASK
+        mabs1 = jnp.where(mrel > 0, posK + mrel, 0)      # m_abs + 1
+        S.append(((pk[q] >> mb) << 27) | mabs1)
         if track_pid:
-            isum_ref[q * 8:(q + 1) * 8, :] = pi[q]
+            Si.append(pi[q])
+
+    # Exclusive suffix seed: shift by one block, filling the right edge
+    # with the carried global suffix (per-state scalars from SMEM).
+    Sx = []
+    Sxi = [] if track_pid else None
+    for q in range(Q):
+        gfill = (g_scr[0, q] << 27) | (g_scr[1, q] + 1)
+        Sx.append(_shift_cols(S[q], 1, CHL, srow, lcol, gfill))
+        if track_pid:
+            Sxi.append(
+                _shift_cols(Si[q], 1, CHL, srow, lcol, g_scr[2, q])
+            )
+    d = 1
+    while d < CH:
+        Sh = [
+            _shift_cols(Sx[q], d, CHL, srow, lcol, jnp.int32(q << 27))
+            for q in range(Q)
+        ]
+        Shi = (
+            [
+                _shift_cols(Sxi[q], d, CHL, srow, lcol, jnp.int32(-1))
+                for q in range(Q)
+            ]
+            if track_pid else None
+        )
+        Sx, Sxi = _combine_packed(Sx, Sh, Sxi, Shi, Q=Q)
+        d *= 2
+
+    # ---- 4. carry update: G_new = combine(block_0, Sx[0]) --------------
+    mask00 = (srow == 0) & (lcol == 0)
+
+    def at00(v):
+        return jnp.max(jnp.where(mask00, v, jnp.int32(_NEG)))
+
+    @pl.when(step < nbc - 1)
+    def _():
+        f0 = [at00(S[q]) >> 27 for q in range(Q)]
+        m0 = [(at00(S[q]) & _M27) - 1 for q in range(Q)]
+        sxf = [at00(Sx[q]) >> 27 for q in range(Q)]
+        sxm = [(at00(Sx[q]) & _M27) - 1 for q in range(Q)]
+        if track_pid:
+            i0 = [at00(Si[q]) for q in range(Q)]
+            sxi = [at00(Sxi[q]) for q in range(Q)]
+        for q in range(Q):
+            t = f0[q]
+            gf = _sel_scalar(t, sxf)
+            gm = _sel_scalar(t, sxm, jnp.int32(-1))
+            later = gm >= 0
+            g_scr[0, q] = gf
+            g_scr[1, q] = jnp.where(later, gm, m0[q])
+            if track_pid:
+                gi_ = _sel_scalar(t, sxi, jnp.int32(-1))
+                g_scr[2, q] = jnp.where(later, gi_, i0[q])
+            else:
+                g_scr[2, q] = jnp.where(
+                    jnp.where(later, gm, m0[q]) >= 0, 0, -1
+                )
+
+    # ---- 3. tail splice: absolute L (and I) tiles ----------------------
+    for k in range(K):
+        sel = sel_scr[k * 8:(k + 1) * 8, :]
+        F = sel >> mb
+        lrel1 = sel & MMASK
+        cmps = [F == q for q in range(Q)]
+        mt = Sx[0]
+        for q in range(1, Q):
+            mt = jnp.where(cmps[q], Sx[q], mt)
+        m_tail = (mt & _M27) - 1
+        later = m_tail >= 0
+        L_abs = jnp.where(lrel1 > 0, posK + lrel1 - 1, -1)
+        L_ref[k * 8:(k + 1) * 8, :] = jnp.where(later, m_tail, L_abs)
+        if track_pid:
+            it = Sxi[0]
+            for q in range(1, Q):
+                it = jnp.where(cmps[q], Sxi[q], it)
+            isel = isel_scr[k * 8:(k + 1) * 8, :]
+            I_ref[k * 8:(k + 1) * 8, :] = jnp.where(later, it, isel)
+
+
+def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
+    """Stage a uint8 text into the kernel's device-resident corpus format.
+
+    Returns (tiles, sk0_t, start_eot): the (8, CHL)-tiled byte layout,
+    per-block k=0 start states, and the EOT-boundary start state. Staging
+    is text-only work — a device-resident corpus is staged once and
+    scanned many times (BASELINE.md protocol)."""
+    cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
+    K = block
+    CHL = chl
+    CH = 8 * CHL
+    P = text.shape[0]
+    assert P % (K * CH) == 0 and P > 0
+    nb = P // K
+    nbc = nb // CH
+    # Tile layout: row k*8+s, lane l holds byte k of block ch*CH + s*CHL + l.
+    tiles = (
+        text.reshape(nbc, 8, CHL, K)
+        .transpose(0, 3, 1, 2)
+        .reshape(nbc * K * 8, CHL)
+    )
+    # k = 0 start states (prev byte = last byte of the previous block).
+    start_runs = tuple(
+        (lo, hi, start_by_ctx[v]) for lo, hi, v in ctx_runs
+    )
+    lastb = text.reshape(nb, K)[:, K - 1].astype(jnp.int32)
+    prevb = jnp.concatenate([jnp.zeros(1, jnp.int32), lastb[:-1]])
+    sk0 = schain_mod._by_runs(prevb, start_runs)
+    sk0 = sk0.at[0].set(start_by_ctx[0])
+    sk0_t = sk0.reshape(nbc * 8, CHL)
+    start_eot = schain_mod._by_runs(
+        text[-1:].astype(jnp.int32), start_runs
+    )[0]
+    return tiles, sk0_t, start_eot
+
+
+def call_fused(
+    st,
+    n_patterns: int,
+    staged,
+    n: jnp.ndarray,
+    *,
+    block: int = 32,
+    chl: int = DEFAULT_CHL,
+    interpret: bool = False,
+):
+    """Run the kernel on staged text; returns (L_tiles, I_tiles|None,
+    plan, shapes)."""
+    K = block
+    CHL = chl
+    assert CHL & (CHL - 1) == 0, "chl must be a power of two"
+    tiles, sk0_t, _start_eot = staged
+    P = tiles.shape[0] * CHL
+    assert P <= MAX_P
+    nb = P // K
+    nbc = nb // (8 * CHL)
+    plan = _plan(st, K)
+    Q = plan["Q"]
+    track_pid = n_patterns > 1
+
+    nlim = jnp.asarray([n], dtype=jnp.int32)
+    rev = lambda i: (nbc - 1 - i, 0)  # noqa: E731  right-to-left grid
+    out_shapes = [jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM)
+    ]
+    scratch = [
+        pltpu.VMEM((K * 8, CHL), jnp.int32),             # sel stash
+        pltpu.SMEM((3, Q), jnp.int32),                   # global suffix
+    ]
+    if track_pid:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM)
+        )
+        scratch.insert(1, pltpu.VMEM((K * 8, CHL), jnp.int32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc
+        ),
+        grid=(nbc,),
+        out_shape=tuple(out_shapes),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, CHL), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(nlim, sk0_t, tiles)
+    L_tiles = out[0]
+    I_tiles = out[1] if track_pid else None
+    return L_tiles, I_tiles, plan, (nb, nbc, K, CHL)
+
+
+def untile(a, nbc, rows, CHL):
+    """(nbc*rows*8, CHL) kernel tiles -> boundary-ordered (nbc*8*CHL*rows,)."""
+    return (
+        a.reshape(nbc, rows, 8, CHL)
+        .transpose(0, 2, 3, 1)
+        .reshape(nbc * 8 * CHL * rows)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret"),
+)
+def l_arrays_device_staged(
+    st,
+    n_patterns: int,
+    staged,
+    n: jnp.ndarray,
+    *,
+    block: int = 32,
+    chl: int = DEFAULT_CHL,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, I) from a staged corpus (see stage_text)."""
+    L_tiles, I_tiles, plan, (nb, nbc, K, CHL) = call_fused(
+        st, n_patterns, staged, n, block=block, chl=chl,
+        interpret=interpret,
+    )
+    P = nb * K
+    L = untile(L_tiles, nbc, K, CHL)
+    if I_tiles is not None:
+        I = untile(I_tiles, nbc, K, CHL)
+    else:
+        I = jnp.where(L >= 0, 0, -1)
+
+    # EOT boundary P + masking (as engine/schain.py finish_scan).
+    start_eot = staged[2]
+    ae = jnp.asarray(plan["accept_eot"], jnp.int32)
+    eot_pid = schain_mod._sel_q(start_eot[None, None], ae[None, :])[0, 0]
+    L_P = jnp.where(eot_pid >= 0, n, -1).astype(jnp.int32)
+    L = jnp.concatenate([L, L_P[None]])
+    I = jnp.concatenate([I, eot_pid[None]])
+    bidx = jnp.arange(P + 1, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    I = jnp.where(bidx <= n, I, -1)
+    return L, I
 
 
 @functools.partial(
@@ -256,104 +560,10 @@ def l_arrays_device_schain_fused(
     """Drop-in for engine/schain.l_arrays_device_schain.
 
     `st` = schain.static_tables(tables); `text` uint8 of length P, a
-    multiple of block*8*chl; `n` the true length (int32 scalar).
+    multiple of block*8*chl (and <= MAX_P); `n` int32 scalar true length.
     """
-    cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
-    K = block
-    CHL = chl
-    CH = 8 * CHL
-    P = text.shape[0]
-    assert P % (K * CH) == 0 and P > 0
-    nb = P // K
-    nbc = nb // CH
-    plan = _plan(st, K)
-    Q, mb = plan["Q"], plan["mb"]
-    MMASK = (1 << mb) - 1
-    track_pid = n_patterns > 1
-
-    # Tile layout: row k*8+s, lane l holds byte k of block ch*CH + s*CHL + l.
-    tiles = (
-        text.reshape(nbc, 8, CHL, K)
-        .transpose(0, 3, 1, 2)
-        .reshape(nbc * K * 8, CHL)
-    )
-    # k = 0 start states (prev byte = last byte of the previous block).
-    start_runs = tuple(
-        (lo, hi, start_by_ctx[v]) for lo, hi, v in ctx_runs
-    )
-    lastb = text.reshape(nb, K)[:, K - 1].astype(jnp.int32)
-    prevb = jnp.concatenate([jnp.zeros(1, jnp.int32), lastb[:-1]])
-    sk0 = schain_mod._by_runs(prevb, start_runs)
-    sk0 = sk0.at[0].set(start_by_ctx[0])
-    sk0_t = sk0.reshape(nbc * 8, CHL)
-
-    nlim = jnp.asarray([n], dtype=jnp.int32)
-    out_shapes = [
-        jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32),   # packed L/F
-        jax.ShapeDtypeStruct((nbc * Q * 8, CHL), jnp.int32),   # packed f/m
-    ]
-    out_specs = [
-        pl.BlockSpec((K * 8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Q * 8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    if track_pid:
-        out_shapes += [
-            jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32),
-            jax.ShapeDtypeStruct((nbc * Q * 8, CHL), jnp.int32),
-        ]
-        out_specs += [
-            pl.BlockSpec(
-                (K * 8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (Q * 8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ]
-
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid
-        ),
-        grid=(nbc,),
-        out_shape=tuple(out_shapes),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (K * 8, CHL), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=tuple(out_specs),
+    staged = stage_text(st, text, block=block, chl=chl)
+    return l_arrays_device_staged(
+        st, n_patterns, staged, n, block=block, chl=chl,
         interpret=interpret,
-    )(nlim, sk0_t, tiles)
-
-    lf = out[0]
-    summ = out[1]
-
-    def untile(a, rows):
-        return (
-            a.reshape(nbc, rows, 8, CHL)
-            .transpose(0, 2, 3, 1)
-            .reshape(nb, rows)
-        )
-
-    lf_bk = untile(lf, K)                               # (nb, K)
-    L_bk = (lf_bk & MMASK) - 1
-    F_bk = lf_bk >> mb
-    sm = untile(summ, Q)                                # (nb, Q)
-    m_f = (sm & MMASK) - 1
-    f_f = sm >> mb
-    if track_pid:
-        I_bk = untile(out[2], K)
-        i_f = untile(out[3], Q)
-    else:
-        I_bk = jnp.where(L_bk >= 0, 0, -1)
-        i_f = jnp.where(m_f >= 0, 0, -1)
-
-    start_eot = schain_mod._by_runs(
-        text[-1:].astype(jnp.int32), start_runs
-    )[0]
-    return schain_mod.finish_scan(
-        L_bk, I_bk, F_bk, m_f, i_f, f_f,
-        accept_eot=accept_eot, start_eot=start_eot, n=n, K=K,
     )

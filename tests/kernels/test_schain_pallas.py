@@ -74,6 +74,51 @@ def test_fused_block_sizes():
         np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
 
 
+def _corpus_cases():
+    import base64
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conformance", "corpus.json",
+    )
+    with open(path) as f:
+        cases = json.load(f)
+    # Every 3rd case: representative coverage at interpret-mode cost.
+    return [
+        (i, [p.encode("latin-1") for p in c["patterns"]],
+         base64.b64decode(c["text_b64"]))
+        for i, c in enumerate(cases)
+        if i % 3 == 0
+    ]
+
+
+@pytest.mark.parametrize(
+    "i,pats,text", _corpus_cases(), ids=[str(c[0]) for c in _corpus_cases()]
+)
+def test_fused_conformance_subset(i, pats, text):
+    """Fused kernel L/I == gather pipeline L/I on frozen corpus cases."""
+    t = compile_patterns([parser.parse(p) for p in pats])
+    st = schain.static_tables(t)
+    ct = pipeline.device_tables(t)
+    K, CHL = 8, 8
+    grain = K * 8 * CHL
+    n = len(text)
+    P = max(grain, -(-n // grain) * grain)
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = np.frombuffer(text, np.uint8)
+    L1, I1 = pipeline.l_arrays_device(
+        ct, jnp.asarray(pad), jnp.int32(n), block=K
+    )
+    L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+        st, t.n_patterns, jnp.asarray(pad), jnp.int32(n),
+        block=K, chl=CHL, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+    np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
+
 def test_api_conformance_fused():
     """Public API with the fused engine forced matches the oracle."""
     cfg = Config(engine="dfa", schain_fused="on", interpret=True,

@@ -82,6 +82,124 @@ add("[^a]*", b"aaa", "nullable negated")
 add(r"\B.\B", b"abcd efg", "non-boundary")
 add("a|ab|abc", b"abc ab a", "longest alternative")
 
+# --- Round-2 expansion: SURVEY.md §4.2 pathological list, systematically --
+
+# Literals: positions, overlaps, absence, binary bytes
+add("a", b"a", "single char whole text")
+add("a", b"bbb", "absent literal")
+add("ab", b"ababab", "overlapped literal tiling")
+add("aba", b"ababababa", "self-overlap aba")
+add("the", BASE, "common word")
+add("stream\n", BASE * 2, "literal with newline")
+add(b"\x00\x01", b"\x00\x01\x02\x00\x01", "binary literal")
+add("longneedlelongneedle", b"x" * 40 + b"longneedlelongneedle" + b"y" * 10,
+    "long literal")
+add("edge", b"edge" + b"." * 50, "literal at start")
+add("edge", b"." * 50 + b"edge", "literal at end")
+
+# Classes: ranges, negation incl. \n, escapes inside classes
+add("[0-9]+", b"a1b22c333d", "digit runs")
+add("[^0-9]+", b"a1b22c333d", "negated digit runs")
+add("[^a\n]+", b"aa\nbb\ncc", "negated class excludes nl")
+add(r"[\d]+", b"x12 007", "escape in class")
+add(r"[a-fA-F0-9]+", b"DeadBeef 123 xyz", "hex class")
+add(r"[-a-c]+", b"a-b-c-d", "literal dash in class")
+add(r"[]a]+", b"]a]]aa", "bracket as first member")
+add(r"[a^]+", b"a^b^^", "caret not first")
+add(".", b"ab\ncd", "dot excludes newline")
+add(r"\s+", b" a\t\tb \n c", "whitespace class")
+add(r"\S+", b" a\t\tb \n c", "negated whitespace")
+add(r"\W+", b"ab, cd!! ef", "nonword runs")
+
+# Quantifiers at limits
+add("a?", b"aab", "optional empty matches")
+add("a+", b"baaab aa", "plus runs")
+add("a{0,2}", b"aaaa", "bounded from zero")
+add("a{2}", b"a aa aaa aaaa", "exact count")
+add("a{3,}", b"aa aaa aaaaaa", "open lower bound")
+add("a{1,1}", b"aaa", "degenerate bounds")
+add("(ab){2,3}", b"ab abab ababab abababab", "group bounded repeat")
+add("(a|b){2}", b"ab ba aa bb ac", "alt group repeat")
+add("x{2,4}y", b"xy xxy xxxxy xxxxxy", "bounded repeat then literal")
+add("a{10,12}", b"a" * 30, "long bounded run")
+add("a{12}", b"a" * 11, "bound exceeds text")
+add("(a*)*", b"aaab", "nested star")
+add("(a+)+b", b"aaab aab b", "nested plus")
+
+# Anchors and boundaries: ^ $ \b \B interplay with \n
+add("^", b"ab\ncd", "bare bol")
+add("$", b"ab\ncd", "bare eol")
+add("^a", b"a\nba\nab", "bol literal")
+add("a$", b"a\nba\nab", "eol literal")
+add("^ab$", b"ab\nab\nabc", "full-line match")
+add("^$", b"\n\n", "empty lines only")
+add("^.*$", b"one\ntwo\n\nthree", "whole lines")
+add(r"\bword\b", b"word sword words word.", "word boundary literal")
+add(r"\b", b"ab cd", "bare word boundary")
+add(r"\B", b"ab cd", "bare non-boundary")
+add(r"\ba", b"a ba ab", "wb before")
+add(r"a\b", b"a ba ab", "wb after")
+add(r"^\s*$", b"  \n\t\n x \n", "blank lines")
+add("a^b", b"a^b ab", "impossible caret mid-pattern")
+add("a$b", b"a$b ab", "impossible dollar mid-pattern")
+add("^a|b$", b"ab\nba", "anchored alternation")
+add(r"ing\b", b"singing ringing ingot", "suffix with wb")
+add(r"\n", b"a\nb\n", "escaped newline")
+
+# Escapes and metachars
+add(r"\x41+", b"AAAB", "hex escape")
+add(r"\.", b"a.b.c", "escaped dot")
+add(r"\*", b"a*b", "escaped star")
+add(r"\\", b"a\\b", "escaped backslash")
+add(r"a\tb", b"a\tb a b", "tab escape")
+add(r"\{2\}", b"x{2} y", "escaped braces")
+add("a{,3}", b"a{,3} aaa", "malformed brace literal")
+add("{abc}", b"x{abc}y", "bare braces literal")
+
+# Alternation structure
+add("abc|abd|abe", b"abc abd abe abf", "shared-prefix alts")
+add("cat|category", b"category cat", "prefix alt longest")
+add("a||b", b"ab", "empty alternative")
+add("(foo|bar)+", b"foobarfoo bar foo", "repeated alt group")
+add("x(a|ab)y", b"xay xaby", "alt inside context")
+
+# Multi-pattern: ties, priority, overlap, many patterns
+add([r"a+", r"a"], b"aaa b a", "multi same start tie")
+add([r"ab", r"b"], b"abab", "multi overlapping starts")
+add([r"\d+", r"\w+"], b"abc 123 a1b2", "multi class overlap")
+add([r"if|else|while", r"[a-z_]\w*", r"\d+", r"\s+", r"[^\w\s]+"],
+    b"if x1 > 99 while else_ y\n", "keyword tokenizer")
+add([str(i) for i in range(10)], b"9081726354", "ten patterns")
+add([r"aa", r"aaa"], b"aaaaaa", "tie lowest id wins")
+
+# Empty matches at block/shard edges (block sizes 8/16/32 in CI)
+em = bytearray(b"b" * 40)
+for off in (7, 8, 15, 16, 31, 32):
+    em[off:off + 1] = b"a"
+add("a*", bytes(em), "empty matches at block edges")
+add("b*", bytes(em), "runs broken at block edges")
+
+# Matches straddling every CI block size (8/16/32) and the sharded split
+for blk in (8, 16, 32, 64):
+    s = bytearray(b"." * (4 * blk))
+    s[blk - 3:blk + 3] = b"needle"[:6]
+    add("needle", bytes(s), f"straddle block {blk}")
+wide = b"z" * 7 + b"a" * 113 + b"z" * 8
+add("a+", wide, "single run spans shards")
+add(r"\ba+\b", wide, "wb run spans shards")
+
+# Long-range dependence: unbounded quantifier across many blocks
+add("a.*z", b"a" + b"m" * 257 + b"z", "dotstar long bridge")
+add("a[^\n]*z", b"a" + b"m" * 100 + b"\n" + b"m" * 50 + b"az", "bridge cut by nl")
+add("(ab)*", b"ab" * 130 + b"a", "long even tiling")
+
+# EOT acceptance
+add("a+$", b"baaa", "accept at eot")
+add(r"x\b", b"zx", "wb at eot")
+add("a*", b"", "nullable on empty text")
+add("^$", b"", "anchors on empty text")
+add("$", b"", "bare eol empty text")
+
 out = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests",

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""On-TPU correctness gate: engine bit-equality + conformance on the chip.
+
+CI runs every engine on the CPU backend (interpret-mode Pallas); this gate
+re-runs the equality and conformance checks on the REAL device so a
+Mosaic-vs-XLA lowering divergence cannot ship silently (VERDICT r1
+"What's missing" #7; the analog of rejit's debug/release x SIMD on/off
+build matrix, SURVEY.md §4.1).
+
+Checks (child process under a watchdog, axon tunnel protocol per bench.py):
+  A. L/I bit-equality of the fused Pallas select-chain kernel vs the XLA
+     select-chain engine vs the jnp gather pipeline, on-device, for the
+     bench-config pattern families over a 1 MB corpus.
+  B. Public-API span parity on a conformance-corpus subset with the fused
+     engine FORCED on (compiled Mosaic, not interpret).
+
+Usage: python tools/verify_tpu.py [--child] [--subset N] [--size MB]
+Exit 0 = all green. Run via `make verify-tpu` before every bench round.
+"""
+import argparse
+import base64
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+ENGINE_PATTERNS = [
+    ["packet"],                      # config 1 (literal; exercised via DFA)
+    ["[a-z]+"],                      # config 2 class
+    ["foo|bar|baz"],                 # config 2 alternation
+    [r"\b\w+ing\b"],                 # config 3 dense DFA
+    [r"[A-Za-z_]\w*", r"\d+", r"\s+", r"[^\w\s]+"],  # config 4 tokenizer
+]
+
+
+def child(subset: int, size_mb: float, cpu: bool = False) -> None:
+    import numpy as np
+
+    from rejit_tpu.runtime.init import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    if cpu:  # smoke-test the gate logic itself without the tunnel
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    from bench.corpus import make_corpus
+    from rejit_tpu import Config, Pattern
+    from rejit_tpu.errors import CompileError
+    from rejit_tpu.compile import parser as rparser
+    from rejit_tpu.compile.dfa import compile_patterns
+    from rejit_tpu.engine import pipeline, schain
+    from rejit_tpu.kernels import schain_pallas
+
+    # ---- A. engine bit-equality on device ------------------------------
+    n = int(size_mb * 1024 * 1024)
+    corpus = make_corpus(n, seed=7)
+    text = np.frombuffer(corpus, dtype=np.uint8)
+    K, CHL = 32, 128
+    grain = K * 8 * CHL
+    P = -(-n // grain) * grain
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    pad_d = jax.device_put(jnp.asarray(pad))
+    n_d = jnp.int32(n)
+
+    for pats in ENGINE_PATTERNS:
+        t = compile_patterns([rparser.parse(p.encode()) for p in pats])
+        st = schain.static_tables(t)
+        ct = pipeline.device_tables(t)
+        a = time.time()
+        L1, I1 = jax.device_get(
+            pipeline.l_arrays_device(ct, pad_d, n_d, block=K)
+        )
+        L2, I2 = jax.device_get(
+            schain.l_arrays_device_schain(st, pad_d, n_d, block=K)
+        )
+        L3, I3 = jax.device_get(
+            schain_pallas.l_arrays_device_schain_fused(
+                st, t.n_patterns, pad_d, n_d, block=K, chl=CHL,
+                interpret=cpu,
+            )
+        )
+        ok = (
+            np.array_equal(L1, L2) and np.array_equal(I1, I2)
+            and np.array_equal(L1, L3) and np.array_equal(I1, I3)
+        )
+        log(
+            f"A {pats!r}: Q={t.n_states} C={t.n_classes} "
+            f"{'OK' if ok else 'MISMATCH'} ({time.time()-a:.1f}s)"
+        )
+        if not ok:
+            for name, L, I in (("schain", L2, I2), ("fused", L3, I3)):
+                dl = np.nonzero(L1 != L)[0]
+                di = np.nonzero(I1 != I)[0]
+                if len(dl) or len(di):
+                    log(
+                        f"  {name}: {len(dl)} L diffs {dl[:8]}, "
+                        f"{len(di)} I diffs {di[:8]}"
+                    )
+            print(json.dumps({"ok": False, "stage": "A", "pats": pats}))
+            sys.exit(1)
+
+    # ---- B. conformance corpus through the public API, fused forced ----
+    cpath = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "conformance", "corpus.json",
+    )
+    with open(cpath) as f:
+        cases = json.load(f)
+    picked = [
+        (i, c) for i, c in enumerate(cases) if i % max(1, subset) == 0
+    ]
+    log(f"B: {len(picked)}/{len(cases)} corpus cases, fused engine forced")
+    cfg = Config(
+        engine="dfa", schain_fused="on", block_size=8, use_ff=False,
+        interpret=cpu,
+    )
+    bad = 0
+    for i, c in picked:
+        pats = [p.encode("latin-1") for p in c["patterns"]]
+        txt = base64.b64decode(c["text_b64"])
+        try:
+            try:
+                p = Pattern([pp.decode("latin-1") for pp in pats], cfg)
+            except CompileError:
+                # Tables exceed the fused kernel's static limits (Q/C):
+                # the XLA select-chain engine is the on-TPU path then.
+                p = Pattern(
+                    [pp.decode("latin-1") for pp in pats],
+                    Config(engine="dfa", schain="on", block_size=8,
+                           use_ff=False),
+                )
+            s, e, pid = p.match_all_arrays(txt)
+            got = [[int(a), int(b), int(g)] for a, b, g in zip(s, e, pid)]
+        except Exception as ex:  # noqa: BLE001 — report, keep scanning
+            log(f"B case {i} {c['patterns']!r}: EXC {ex!r}")
+            bad += 1
+            continue
+        want = c["match_all_ids"]
+        if got != want:
+            log(
+                f"B case {i} {c['patterns']!r} ({c.get('note', '')}): "
+                f"got {got[:6]}... want {want[:6]}..."
+            )
+            bad += 1
+    if bad:
+        print(json.dumps({"ok": False, "stage": "B", "bad": bad}))
+        sys.exit(1)
+    print(json.dumps({
+        "ok": True,
+        "engine_patterns": len(ENGINE_PATTERNS),
+        "conformance_cases": len(picked),
+        "platform": dev.platform,
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--subset", type=int, default=3,
+                    help="run every Nth conformance case (default 3)")
+    ap.add_argument("--size", type=float, default=1.0)
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke-test the gate on the CPU backend")
+    args = ap.parse_args()
+    if args.child:
+        child(args.subset, args.size, cpu=args.cpu)
+        return
+    # Watchdog: the tunnel can hang for minutes (CLAUDE.md); compile-cache
+    # makes the retry cheap.
+    for k in range(3):
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__), "--child",
+                    "--subset", str(args.subset), "--size", str(args.size),
+                ] + (["--cpu"] if args.cpu else []),
+                timeout=args.timeout,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        except subprocess.TimeoutExpired:
+            log(f"attempt {k}: watchdog timeout, retrying")
+            continue
+        sys.exit(out.returncode)
+    log("no attempt completed inside the watchdog")
+    sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
