@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--stage", default="full", choices=["full", "kernel"])
+    ap.add_argument("--corpus", default="text", choices=["text", "sparse"],
+                    help="sparse: punctuation-heavy corpus exercising the "
+                         "chunk-skip fast path")
+    ap.add_argument("--no-ff", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +51,22 @@ def main():
     from rejit_tpu.kernels import schain_pallas as sp
 
     size = int(args.size * 1024 * 1024)
-    corpus = make_corpus(size, seed=2)
-    n = len(corpus)
-    text = np.frombuffer(corpus, dtype=np.uint8)
+    if args.corpus == "sparse":
+        # ~0.1% live-byte density at >32 KB stretches: silent filler with
+        # occasional word islands (the log/grep workload shape).
+        rng = np.random.default_rng(3)
+        filler = rng.choice(
+            np.frombuffer(b" .,;:!?#-", np.uint8), size=size
+        ).astype(np.uint8)
+        island = np.frombuffer(b" singing kings winging it ", np.uint8)
+        for off in range(1 << 19, size - len(island), 1 << 20):
+            filler[off:off + len(island)] = island
+        text = filler
+        n = size
+    else:
+        corpus = make_corpus(size, seed=2)
+        n = len(corpus)
+        text = np.frombuffer(corpus, dtype=np.uint8)
 
     t = compile_patterns([rparser.parse(args.pat.encode())])
     st = schain.static_tables(t)
@@ -78,7 +95,8 @@ def main():
             st, text_dev, jnp.int32(n), block=K
         )
         L1, I1 = sp.l_arrays_device_schain_fused(
-            st, t.n_patterns, text_dev, jnp.int32(n), block=K, chl=CHL
+            st, t.n_patterns, text_dev, jnp.int32(n), block=K, chl=CHL,
+            use_ff=not args.no_ff,
         )
         assert bool(jnp.array_equal(L1, L2)), "L mismatch on TPU"
         assert bool(jnp.array_equal(I1, I2)), "I mismatch on TPU"
@@ -101,7 +119,8 @@ def main():
     else:
         def step(nv):
             L, I = sp.l_arrays_device_schain_fused(
-                st, t.n_patterns, text_dev, nv, block=K, chl=CHL
+                st, t.n_patterns, text_dev, nv, block=K, chl=CHL,
+                use_ff=not args.no_ff,
             )
             return L.max() + I.max()  # both outputs live — nothing DCE'd
     per = tchain(step, n)

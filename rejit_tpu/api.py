@@ -197,7 +197,8 @@ class Pattern:
 
             if self._schain_static is None:
                 self._schain_static = schain_engine.static_tables(self.tables)
-            grain = block * 8 * schain_pallas.DEFAULT_CHL
+            fblock, fchl = self._fused_params()
+            grain = fblock * 8 * fchl
             P = _bucket_blocks(max(1, -(-n // grain))) * grain
             pad = np.zeros(P, dtype=np.uint8)
             pad[:n] = text
@@ -206,8 +207,10 @@ class Pattern:
                 self.tables.n_patterns,
                 jnp.asarray(pad),
                 jnp.int32(n),
-                block=block,
+                block=fblock,
+                chl=fchl,
                 interpret=self.config.interpret,
+                use_ff=self.config.use_ff,
             )
         if self._use_schain():
             from .engine import schain as schain_engine
@@ -261,6 +264,16 @@ class Pattern:
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
         )
 
+    def _fused_params(self):
+        """(K, CHL) for the fused kernel: config override or the measured
+        v5e optimum K=128, CHL=128 (bench/NOTES.md round-2 matrix); under
+        interpret the generic block_size keeps CI traces small."""
+        K = self.config.fused_block or (
+            self.config.block_size if self.config.interpret else 128
+        )
+        chl = self.config.fused_chl or 128
+        return K, chl
+
     def _use_matmul(self) -> bool:
         # Explicit opt-in only: measured slower than schain at small Q
         # (MXU utilization ~ Q^2/128^2 — bench/NOTES.md).
@@ -293,7 +306,7 @@ class Pattern:
         from .kernels.schain_pallas import MAX_Q
 
         Q, C = self.tables.n_states, self.tables.n_classes
-        mb = (self.config.block_size + 1).bit_length()
+        mb = (self._fused_params()[0] + 1).bit_length()
         fits = (
             Q <= MAX_Q
             and (Q - 1) < (1 << (31 - mb))

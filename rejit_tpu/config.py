@@ -80,6 +80,13 @@ class Config:
     # non-CPU backends when the tables fit), 'on', or 'off'.
     schain_fused: str = "auto"
 
+    # Block size (K) and lane-columns (CHL) for the fused kernel. None =
+    # auto: K=128, CHL=128 (measured fastest on v5e, bench/NOTES.md) when
+    # compiled; under interpret the generic block_size is used so CI
+    # traces stay small.
+    fused_block: Optional[int] = None
+    fused_chl: Optional[int] = None
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 
@@ -109,6 +116,14 @@ class Config:
             matmul=os.environ.get("REJIT_TPU_MATMUL", "off"),
             schain=os.environ.get("REJIT_TPU_SCHAIN", "auto"),
             schain_fused=os.environ.get("REJIT_TPU_SCHAIN_FUSED", "auto"),
+            fused_block=(
+                int(os.environ["REJIT_TPU_FUSED_BLOCK"])
+                if "REJIT_TPU_FUSED_BLOCK" in os.environ else None
+            ),
+            fused_chl=(
+                int(os.environ["REJIT_TPU_FUSED_CHL"])
+                if "REJIT_TPU_FUSED_CHL" in os.environ else None
+            ),
             interpret=_env_bool("REJIT_TPU_INTERPRET", False),
             print_tree=_env_bool("REJIT_TPU_PRINT_TREE", False),
             print_tables=_env_bool("REJIT_TPU_PRINT_TABLES", False),

@@ -118,11 +118,60 @@ def _plan(st, K: int):
     s_def, s_rest = s_vals[0], tuple(s_vals[1:])
     # k = 0 boundaries read precomputed states (incl. the BEGIN context).
     us0 = tuple(sorted(set(start_by_ctx)))
+
+    # ---- chunk-skip (fast-forward) analysis --------------------------
+    # The TPU analog of rejit's FastForwardGen SSE scan (SURVEY.md §3.1
+    # HOT LOOP A): a chunk whose bytes are all SILENT — uniform
+    # transition of every state to an absorbing dead state, with no
+    # accepts reachable from any boundary start state — contributes a
+    # constant state-map and all-(-1) L rows, so the kernel can emit them
+    # directly at streaming speed instead of running the K-step scan.
+    # The chunk's FIRST byte is only required to be UNIFORM (accepts from
+    # carried states allowed — that is how a match ending exactly at the
+    # chunk edge, e.g. the \b-completing space after "singing", is still
+    # recorded): its per-state accepts are folded into the scalar
+    # G-carry update and the boundary-0 emission.
+    dead = None
+    for q in range(Q):
+        if accept_eot[q] < 0 and all(
+            nxt_cols[c][q] == q and acc_cols[c][q] < 0 for c in range(C)
+        ):
+            dead = q
+            break
+    silent_runs = ()
+    uni0_runs = ()
+    if dead is not None:
+        starts = set(us0) | {dead}
+        uni_cls = set(
+            c for c in range(C)
+            if all(nxt_cols[c][q] == dead for q in range(Q))
+        )
+        silent_cls = set(
+            c for c in uni_cls
+            if all(acc_cols[c][s] < 0 for s in starts)
+        )
+        def pair_runs(keep):
+            out = []
+            for lo, hi, v in cls_runs:
+                if v in keep:
+                    if out and out[-1][1] + 1 == lo:
+                        out[-1] = (out[-1][0], hi)
+                    else:
+                        out.append((lo, hi))
+            return tuple(out)
+
+        silent_runs = pair_runs(silent_cls)
+        uni0_runs = pair_runs(uni_cls)
+    # Enable only when the silent set covers enough of the byte space for
+    # sparse corpora to exist at chunk granularity (flag costs ~7 ops/byte
+    # on the heavy path).
+    skip = dead is not None and _coverage(silent_runs) >= 64
     return dict(
         C=C, Q=Q, mb=mb, dom=dom,
         class_runs=class_runs, nxt_cols=nxt_cols, acc_cols=acc_cols,
         s_def=s_def, s_rest=s_rest, srun_by_state=srun_by_state, us0=us0,
         accept_eot=tuple(accept_eot),
+        skip=skip, dead=dead, silent_runs=silent_runs, uni0_runs=uni0_runs,
     )
 
 
@@ -184,7 +233,7 @@ def _combine_packed(A, B, Ai=None, Bi=None, Q=None):
 
 
 def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
-            nbc):
+            nbc, branchless=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
@@ -211,6 +260,133 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
             aq = plan["accept_eot"][q]
             g_scr[1, q] = jnp.where(aq >= 0, n, -1)      # m
             g_scr[2, q] = jnp.int32(aq)                  # i
+
+    # ---- chunk classification: pad / silent-skip / heavy ---------------
+    # The pad and silent-skip branches are PURE PERFORMANCE shortcuts:
+    # the heavy path computes identical results on any chunk (pads are
+    # valid-masked identity maps; silent chunks produce the same constant
+    # maps the shortcut emits). Pallas interpret mode misexecutes large
+    # conditional bodies with scratch effects (observed 2026-08-17: the
+    # doubling scan inside pl.when returns off-by-small m values on dense
+    # multi-pattern inputs, bit-correct unconditioned), so interpret CI
+    # runs the unconditional heavy path and the branch structure is
+    # validated on the real chip by tools/verify_tpu.py (incl. a sparse
+    # corpus that exercises the skip branch).
+    if branchless:
+        _kernel_heavy(
+            n, sk0_ref, t32, refs, K=K, CHL=CHL, plan=plan,
+            track_pid=track_pid, nbc=nbc, step=step, posK=posK,
+            srow=srow, lcol=lcol,
+        )
+        return
+    p0 = ch * CH * K                                     # chunk byte base
+    is_pad = p0 >= n                                     # all-invalid chunk
+    if plan["skip"]:
+        first00 = (srow == 0) & (lcol == 0)
+        live = None
+        for k in range(K):
+            b = t32[k * 8:(k + 1) * 8, :]
+            ls = ~_range_mask(b, plan["silent_runs"])
+            if k == 0:
+                ls = ls & ~first00                      # byte 0: UNI0 rule
+            live = ls if live is None else (live | ls)
+        z0 = jnp.max(jnp.where(first00, t32[0:8, :], 0))
+        z0_uni = jnp.max(
+            jnp.where(
+                first00,
+                _range_mask(t32[0:8, :], plan["uni0_runs"]).astype(
+                    jnp.int32
+                ),
+                0,
+            )
+        ) > 0
+        skip_ok = (
+            (jnp.max(live.astype(jnp.int32)) == 0)
+            & z0_uni
+            & (p0 + CH * K <= n)
+            & ~is_pad
+        )
+    else:
+        skip_ok = jnp.bool_(False)
+
+    @pl.when(is_pad)
+    def _():
+        # Pad bytes are identity maps: the G carry is unchanged. But when
+        # n sits exactly on this chunk's left edge, boundary p0 == n IS
+        # the EOT boundary: emit it from the seeded G at its start state
+        # (empty-match-at-EOT, e.g. `a*` on n=0 or chunk-aligned n).
+        first00 = (srow == 0) & (lcol == 0)
+        sk000 = jnp.max(jnp.where(first00, sk0_ref[:], 0))
+        gm = [g_scr[1, q] for q in range(Q)]
+        gi = [g_scr[2, q] for q in range(Q)]
+        eot_here = p0 == n
+        L00 = jnp.where(eot_here, _sel_scalar(sk000, gm, -1), -1)
+        I00 = jnp.where(eot_here, _sel_scalar(sk000, gi, -1), -1)
+        neg = jnp.full((8, CHL), -1, jnp.int32)
+        L_ref[0:8, :] = jnp.where(first00, L00, neg)
+        if track_pid:
+            I_ref[0:8, :] = jnp.where(first00, I00, neg)
+        for k in range(1, K):
+            L_ref[k * 8:(k + 1) * 8, :] = neg
+            if track_pid:
+                I_ref[k * 8:(k + 1) * 8, :] = neg
+
+    if plan["skip"]:
+        @pl.when(skip_ok)
+        def _():
+            # All boundaries in the chunk are dead (L = -1) except the
+            # chunk-first boundary, whose start state may accept on the
+            # (uniform) first byte; carried states' first-byte accepts go
+            # into the G carry so matches ending exactly at the chunk
+            # edge splice correctly from the left.
+            first00 = (srow == 0) & (lcol == 0)
+            mcc0 = {
+                cc: _range_mask(z0, plan["class_runs"][cc])
+                for cc in range(C)
+                if cc != dom and cc in plan["class_runs"]
+            }
+            acc0 = []
+            for q in range(Q):
+                a = jnp.int32(acc[dom][q])
+                for cc, m0 in mcc0.items():
+                    a = jnp.where(m0, jnp.int32(acc[cc][q]), a)
+                acc0.append(a)
+            sk000 = jnp.max(jnp.where(first00, sk0_ref[:], 0))
+            a_b0 = _sel_scalar(sk000, acc0, jnp.int32(-1))
+            L0 = jnp.where(a_b0 >= 0, p0, jnp.int32(-1))
+            neg = jnp.full((8, CHL), -1, jnp.int32)
+            L_ref[0:8, :] = jnp.where(first00, L0, neg)
+            if track_pid:
+                I_ref[0:8, :] = jnp.where(first00, a_b0, neg)
+            for k in range(1, K):
+                L_ref[k * 8:(k + 1) * 8, :] = neg
+                if track_pid:
+                    I_ref[k * 8:(k + 1) * 8, :] = neg
+            for q in range(Q):
+                g_scr[0, q] = jnp.int32(plan["dead"])
+                g_scr[1, q] = jnp.where(acc0[q] >= 0, p0, -1)
+                g_scr[2, q] = acc0[q]
+
+    @pl.when(~is_pad & ~skip_ok)
+    def _heavy():
+        _kernel_heavy(
+            n, sk0_ref, t32, refs, K=K, CHL=CHL, plan=plan,
+            track_pid=track_pid, nbc=nbc, step=step, posK=posK,
+            srow=srow, lcol=lcol,
+        )
+
+
+def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
+                  step, posK, srow, lcol):
+    C, Q, mb = plan["C"], plan["Q"], plan["mb"]
+    dom = plan["dom"]
+    nxt, acc = plan["nxt_cols"], plan["acc_cols"]
+    MMASK = (1 << mb) - 1
+    CH = 8 * CHL
+    if track_pid:
+        (L_ref, I_ref, sel_scr, isel_scr, g_scr) = refs
+    else:
+        (L_ref, sel_scr, g_scr) = refs
 
     # ---- 1. backward K-step select-chain scan --------------------------
     pk = [jnp.full((8, CHL), q << mb, jnp.int32) for q in range(Q)]
@@ -438,6 +614,7 @@ def call_fused(
     block: int = 32,
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
+    use_ff: bool = True,
 ):
     """Run the kernel on staged text; returns (L_tiles, I_tiles|None,
     plan, shapes)."""
@@ -450,6 +627,7 @@ def call_fused(
     nb = P // K
     nbc = nb // (8 * CHL)
     plan = _plan(st, K)
+    plan["skip"] = plan["skip"] and use_ff
     Q = plan["Q"]
     track_pid = n_patterns > 1
 
@@ -474,7 +652,8 @@ def call_fused(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc
+            _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc,
+            branchless=interpret,
         ),
         grid=(nbc,),
         out_shape=tuple(out_shapes),
@@ -506,7 +685,8 @@ def untile(a, nbc, rows, CHL):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("st", "n_patterns", "block", "chl", "interpret"),
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret",
+                     "use_ff"),
 )
 def l_arrays_device_staged(
     st,
@@ -517,11 +697,12 @@ def l_arrays_device_staged(
     block: int = 32,
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
+    use_ff: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) from a staged corpus (see stage_text)."""
     L_tiles, I_tiles, plan, (nb, nbc, K, CHL) = call_fused(
         st, n_patterns, staged, n, block=block, chl=chl,
-        interpret=interpret,
+        interpret=interpret, use_ff=use_ff,
     )
     P = nb * K
     L = untile(L_tiles, nbc, K, CHL)
@@ -545,7 +726,8 @@ def l_arrays_device_staged(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("st", "n_patterns", "block", "chl", "interpret"),
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret",
+                     "use_ff"),
 )
 def l_arrays_device_schain_fused(
     st,
@@ -556,6 +738,7 @@ def l_arrays_device_schain_fused(
     block: int = 32,
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
+    use_ff: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for engine/schain.l_arrays_device_schain.
 
@@ -565,5 +748,5 @@ def l_arrays_device_schain_fused(
     staged = stage_text(st, text, block=block, chl=chl)
     return l_arrays_device_staged(
         st, n_patterns, staged, n, block=block, chl=chl,
-        interpret=interpret,
+        interpret=interpret, use_ff=use_ff,
     )

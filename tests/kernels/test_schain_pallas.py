@@ -135,3 +135,71 @@ def test_api_conformance_fused():
         ]
         assert p.match_first(text) == o.match_first(text)
         assert p.match_anywhere(text) == o.match_anywhere(text)
+
+
+# ---- chunk-skip (fast-forward) fast path --------------------------------
+
+SKIP_PATS = [
+    [rb"\b\w+ing\b"],
+    [rb"[a-z]+"],
+    [rb"foo|bar|baz"],
+    [rb"\w+", rb"\s+"],
+]
+
+
+def _skip_texts(chunk):
+    """Texts engineered around the chunk (K*8*CHL) skip granularity."""
+    return [
+        b"." * (4 * chunk),                          # fully silent
+        b"." * chunk + b"singing" + b"." * chunk,    # one live island
+        # match ends exactly at a chunk edge: the \b-completing space is
+        # the FIRST byte of an otherwise-silent chunk (the carried-accept
+        # case the UNI0 first-byte rule exists for)
+        b"." * (chunk - 7) + b"singing" + b" " * chunk,
+        b"." * (chunk - 3) + b"singing" + b"." * chunk,  # straddles edge
+        b"sing" + b"." * (2 * chunk),                # live first chunk only
+    ]
+
+
+@pytest.mark.parametrize(
+    "pats", SKIP_PATS, ids=["+".join(p.decode() for p in ps) for ps in SKIP_PATS]
+)
+def test_chunk_skip_bit_equal(pats):
+    """ff-on == ff-off == XLA schain on skip-heavy corpora."""
+    K, CHL = 8, 2
+    chunk = K * 8 * CHL
+    t = compile_patterns([parser.parse(p) for p in pats])
+    st = schain.static_tables(t)
+    assert schain_pallas._plan(st, K)["skip"], "skip should enable"
+    for raw in _skip_texts(chunk):
+        n = len(raw)
+        P = -(-max(n, 1) // chunk) * chunk
+        if P == n:
+            P += chunk
+        pad = np.zeros(P, np.uint8)
+        pad[:n] = np.frombuffer(raw, np.uint8)
+        td = jnp.asarray(pad)
+        L1, I1 = schain.l_arrays_device_schain(st, td, jnp.int32(n), block=K)
+        for use_ff in (True, False):
+            L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+                st, t.n_patterns, td, jnp.int32(n),
+                block=K, chl=CHL, interpret=True, use_ff=use_ff,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(L1), np.asarray(L2), err_msg=f"n={n} ff={use_ff}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(I1), np.asarray(I2), err_msg=f"n={n} ff={use_ff}"
+            )
+
+
+def test_chunk_skip_oracle_sparse():
+    """Sparse-corpus spans through the public API == oracle."""
+    chunk = 8 * 8 * 2
+    raw = (b"#" * chunk + b" singing kings "
+           + b"." * (chunk - 7) + b"winging" + b"!" * chunk)
+    cfg = Config(engine="dfa", schain_fused="on", interpret=True,
+                 block_size=8, use_ff=True)
+    p = Pattern(r"\b\w+ing\b", cfg)
+    o = OraclePattern([rb"\b\w+ing\b"])
+    assert p.match_all(raw) == [(s, e) for s, e in o.match_all(raw)]

@@ -65,53 +65,69 @@ def child(subset: int, size_mb: float, cpu: bool = False) -> None:
     from rejit_tpu.kernels import schain_pallas
 
     # ---- A. engine bit-equality on device ------------------------------
+    # Dense text PLUS a sparse (punctuation-heavy) corpus: the sparse one
+    # drives the fused kernel's compiled chunk-skip branch, which
+    # interpret-mode CI cannot exercise (it runs branchless — see
+    # kernels/schain_pallas.py).
     n = int(size_mb * 1024 * 1024)
-    corpus = make_corpus(n, seed=7)
-    text = np.frombuffer(corpus, dtype=np.uint8)
     K, CHL = 32, 128
     grain = K * 8 * CHL
     P = -(-n // grain) * grain
-    pad = np.zeros(P, dtype=np.uint8)
-    pad[:n] = text
-    pad_d = jax.device_put(jnp.asarray(pad))
+    texts = {}
+    texts["dense"] = np.frombuffer(make_corpus(n, seed=7), dtype=np.uint8)
+    rng = np.random.default_rng(11)
+    sparse = rng.choice(
+        np.frombuffer(b" .,;:!?#-", np.uint8), size=n
+    ).astype(np.uint8)
+    isl = np.frombuffer(b" singing kings winging it foo bar 123 ", np.uint8)
+    for off in range(1 << 16, n - len(isl), 1 << 17):
+        sparse[off:off + len(isl)] = isl
+    texts["sparse"] = sparse
     n_d = jnp.int32(n)
 
     for pats in ENGINE_PATTERNS:
         t = compile_patterns([rparser.parse(p.encode()) for p in pats])
         st = schain.static_tables(t)
         ct = pipeline.device_tables(t)
-        a = time.time()
-        L1, I1 = jax.device_get(
-            pipeline.l_arrays_device(ct, pad_d, n_d, block=K)
-        )
-        L2, I2 = jax.device_get(
-            schain.l_arrays_device_schain(st, pad_d, n_d, block=K)
-        )
-        L3, I3 = jax.device_get(
-            schain_pallas.l_arrays_device_schain_fused(
-                st, t.n_patterns, pad_d, n_d, block=K, chl=CHL,
-                interpret=cpu,
+        for cname, text in texts.items():
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            pad_d = jax.device_put(jnp.asarray(pad))
+            a = time.time()
+            L1, I1 = jax.device_get(
+                pipeline.l_arrays_device(ct, pad_d, n_d, block=K)
             )
-        )
-        ok = (
-            np.array_equal(L1, L2) and np.array_equal(I1, I2)
-            and np.array_equal(L1, L3) and np.array_equal(I1, I3)
-        )
-        log(
-            f"A {pats!r}: Q={t.n_states} C={t.n_classes} "
-            f"{'OK' if ok else 'MISMATCH'} ({time.time()-a:.1f}s)"
-        )
-        if not ok:
-            for name, L, I in (("schain", L2, I2), ("fused", L3, I3)):
-                dl = np.nonzero(L1 != L)[0]
-                di = np.nonzero(I1 != I)[0]
-                if len(dl) or len(di):
-                    log(
-                        f"  {name}: {len(dl)} L diffs {dl[:8]}, "
-                        f"{len(di)} I diffs {di[:8]}"
-                    )
-            print(json.dumps({"ok": False, "stage": "A", "pats": pats}))
-            sys.exit(1)
+            L2, I2 = jax.device_get(
+                schain.l_arrays_device_schain(st, pad_d, n_d, block=K)
+            )
+            L3, I3 = jax.device_get(
+                schain_pallas.l_arrays_device_schain_fused(
+                    st, t.n_patterns, pad_d, n_d, block=K, chl=CHL,
+                    interpret=cpu,
+                )
+            )
+            ok = (
+                np.array_equal(L1, L2) and np.array_equal(I1, I2)
+                and np.array_equal(L1, L3) and np.array_equal(I1, I3)
+            )
+            log(
+                f"A {pats!r} [{cname}]: Q={t.n_states} C={t.n_classes} "
+                f"{'OK' if ok else 'MISMATCH'} ({time.time()-a:.1f}s)"
+            )
+            if not ok:
+                for name, L, I in (("schain", L2, I2), ("fused", L3, I3)):
+                    dl = np.nonzero(L1 != L)[0]
+                    di = np.nonzero(I1 != I)[0]
+                    if len(dl) or len(di):
+                        log(
+                            f"  {name}: {len(dl)} L diffs {dl[:8]}, "
+                            f"{len(di)} I diffs {di[:8]}"
+                        )
+                print(json.dumps(
+                    {"ok": False, "stage": "A", "pats": pats,
+                     "corpus": cname}
+                ))
+                sys.exit(1)
 
     # ---- B. conformance corpus through the public API, fused forced ----
     cpath = os.path.join(
