@@ -104,7 +104,11 @@ def tmed(fn, iters=5, rounds=3):
     return best
 
 
-def run_configs(size_mb: float, which):
+def run_configs(size_mb: float, which, engines="all"):
+    """engines='fast' measures only the production engines (fused/schain/
+    classrun/literal + e2e paths); 'all' adds the gather formulations
+    (dfa/pallas/mxu), each 100x+ slower on v5e (bench/NOTES.md), which
+    multiplies wall time."""
     import jax
 
     from rejit_tpu.runtime.init import enable_compilation_cache
@@ -119,6 +123,7 @@ def run_configs(size_mb: float, which):
     from rejit_tpu import oracle
 
     size = int(size_mb * 1024 * 1024)
+    slow = engines == "all"
     results = {}
 
     def report(name, seconds, nbytes, extra=""):
@@ -153,15 +158,20 @@ def run_configs(size_mb: float, which):
         text = np.frombuffer(corpus, dtype=np.uint8)
         for pat in ("[a-z]+", "foo|bar|baz"):
             p = Pattern(pat, _dfa_cfg())
+            report(f"config2_fused_{pat}",
+                   tchain(_fused_step(p, text, jax, jnp), n), n,
+                   f"Q={p.tables.n_states}")
             report(f"config2_sch_{pat}",
                    tchain(_schain_step(p, text, jax, jnp), n), n,
                    f"Q={p.tables.n_states}")
-            report(f"config2_mxu_{pat}",
-                   tchain(_mxu_step(p, text, jax, jnp), n), n)
-            report(f"config2_dfa_{pat}",
-                   tchain(_dfa_step(p, text, jax, jnp), n), n)
-            report(f"config2_pal_{pat}",
-                   tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
+            if slow:
+                report(f"config2_mxu_{pat}",
+                       tchain(_mxu_step(p, text, jax, jnp), n), n)
+                report(f"config2_dfa_{pat}",
+                       tchain(_dfa_step(p, text, jax, jnp), n), n)
+                report(f"config2_pal_{pat}",
+                       tchain(_dfa_step(p, text, jax, jnp, pallas=True), n),
+                       n)
         # auto engine for [a-z]+ is the classrun fast path
         pc = Pattern("[a-z]+")
         assert pc.engine == "classrun"
@@ -184,15 +194,19 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
+        report("config3_fused_wb_ing",
+               tchain(_fused_step(p, text, jax, jnp), n), n,
+               f"Q={p.tables.n_states}")
         report("config3_sch_wb_ing",
                tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
-        report("config3_mxu_wb_ing",
-               tchain(_mxu_step(p, text, jax, jnp), n), n)
-        report("config3_dfa_wb_ing",
-               tchain(_dfa_step(p, text, jax, jnp), n), n)
-        report("config3_pal_wb_ing",
-               tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
+        if slow:
+            report("config3_mxu_wb_ing",
+                   tchain(_mxu_step(p, text, jax, jnp), n), n)
+            report("config3_dfa_wb_ing",
+                   tchain(_dfa_step(p, text, jax, jnp), n), n)
+            report("config3_pal_wb_ing",
+                   tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
 
     # ---- config 4: tokenizer multi-pattern -----------------------------
     if 4 in which:
@@ -200,15 +214,19 @@ def run_configs(size_mb: float, which):
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"], _dfa_cfg())
+        report("config4_fused_tokenizer",
+               tchain(_fused_step(p, text, jax, jnp), n), n,
+               f"Q={p.tables.n_states}")
         report("config4_sch_tokenizer",
                tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
-        report("config4_mxu_tokenizer",
-               tchain(_mxu_step(p, text, jax, jnp), n), n)
-        report("config4_tokenizer_L",
-               tchain(_dfa_step(p, text, jax, jnp), n), n)
-        report("config4_pal_tokenizer",
-               tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
+        if slow:
+            report("config4_mxu_tokenizer",
+                   tchain(_mxu_step(p, text, jax, jnp), n), n)
+            report("config4_tokenizer_L",
+                   tchain(_dfa_step(p, text, jax, jnp), n), n)
+            report("config4_pal_tokenizer",
+                   tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
         # end-to-end spans incl. host transfer + selection (1 MB: the span
         # list is dense, ~1 token/3 bytes; see engine/select_device for the
         # device-resident path)
@@ -217,7 +235,51 @@ def run_configs(size_mb: float, which):
         t0 = time.perf_counter()
         starts, _, _ = p.match_all_arrays(small)
         report("config4_tokenizer_e2e", time.perf_counter() - t0, len(small),
-               f"{len(starts)} tokens")
+               f"{len(starts)} tokens (single call, tunnel RTT included)")
+
+        # Dense spans-out ON DEVICE, chained (1 MB): fused L/I -> candidate
+        # compaction -> non-overlap selection -> compacted spans reduced to
+        # a checksum (the device_select_threshold path, never RTT-bound).
+        from rejit_tpu.engine import spans as spans_mod
+
+        K4, CHL4 = 128, 128
+        from rejit_tpu.engine import schain as se4
+        from rejit_tpu.kernels import schain_pallas as sp4
+
+        st4 = se4.static_tables(p.tables)
+        ns = len(small)
+        grain4 = K4 * 8 * CHL4
+        P4 = ((ns + grain4 - 1) // grain4) * grain4
+        pad4 = np.zeros(P4, dtype=np.uint8)
+        pad4[:ns] = small
+        td4 = jax.device_put(jnp.asarray(pad4))
+        staged4 = jax.jit(
+            lambda td: sp4.stage_text(st4, td, block=K4, chl=CHL4)
+        )(td4)
+        L4, I4 = sp4.l_arrays_device_staged(
+            st4, p.tables.n_patterns, staged4, jnp.int32(ns),
+            block=K4, chl=CHL4,
+        )
+        c4 = int(spans_mod.candidate_count(L4))
+        cap4 = 1 << max(10, (c4 - 1).bit_length())
+        ov4 = bool(p.info.overlap_free)
+
+        def step4(nv):
+            L, I = sp4.l_arrays_device_staged(
+                st4, p.tables.n_patterns, staged4, nv, block=K4, chl=CHL4
+            )
+            s_, e_, pid_, k_ = spans_mod.spans_device(
+                L, I, cap=cap4, overlap_free=ov4
+            )
+            return (
+                jnp.sum(s_, dtype=jnp.int32)
+                + jnp.sum(e_, dtype=jnp.int32)
+                + jnp.sum(pid_, dtype=jnp.int32)
+                + k_
+            )
+
+        report("config4_spans_device", tchain(step4, ns), ns,
+               f"{c4} candidates, cap {cap4}, overlap_free={ov4}")
 
     # ---- config 5: sharded corpus over all devices ---------------------
     if 5 in which:
@@ -244,6 +306,24 @@ def run_configs(size_mb: float, which):
             ct, text_dev, nv, mesh=mesh, block=block, num_shards=D
         )[0].max()
         report(f"config5_sharded_D{D}", tchain(step5, n), n)
+
+        # Production engine sharded: fused kernel per shard + exact
+        # cross-shard tail splice (dist/sharded.py:_local_fused_fn).
+        from rejit_tpu.dist.sharded import sharded_l_arrays_device_fused
+        from rejit_tpu.engine import schain as se5
+
+        K5, CHL5 = 128, 128
+        st5 = se5.static_tables(t)
+        grain5 = D * K5 * 8 * CHL5
+        P5 = ((n + 1 + grain5 - 1) // grain5) * grain5
+        pad5 = np.zeros(P5, dtype=np.uint8)
+        pad5[:n] = np.frombuffer(corpus, dtype=np.uint8)
+        text5 = jax.device_put(jnp.asarray(pad5), sharding)
+        step5f = lambda nv: sharded_l_arrays_device_fused(
+            st5, t.n_patterns, text5, nv, mesh=mesh, block=K5, chl=CHL5,
+            num_shards=D
+        )[0].max()
+        report(f"config5_fused_sharded_D{D}", tchain(step5f, n), n)
 
         # Streaming engine (corpus larger than device memory): end-to-end
         # wall time incl. host chunk staging, candidate readback, selection.
@@ -293,6 +373,32 @@ def _dfa_cfg():
     from rejit_tpu import Config
 
     return Config(engine="dfa", block_size=32)
+
+
+def _fused_step(p, text, jax, jnp, K=128, CHL=128):
+    """step(nv) for the VMEM-fused select-chain kernel (the production
+    accelerator engine, kernels/schain_pallas.py); corpus staged once."""
+    n = len(text)
+    from rejit_tpu.engine import schain as se
+    from rejit_tpu.kernels import schain_pallas as sp
+
+    st = se.static_tables(p.tables)
+    grain = K * 8 * CHL
+    P = ((n + grain - 1) // grain) * grain
+    pad = np.zeros(P, dtype=np.uint8)
+    pad[:n] = text
+    text_dev = jax.device_put(jnp.asarray(pad))
+    staged = jax.jit(
+        lambda td: sp.stage_text(st, td, block=K, chl=CHL)
+    )(text_dev)
+
+    def step(nv):
+        L, I = sp.l_arrays_device_staged(
+            st, p.tables.n_patterns, staged, nv, block=K, chl=CHL
+        )
+        return L.max() + I.max()
+
+    return step
 
 
 def _schain_step(p, text, jax, jnp):
@@ -392,6 +498,11 @@ def main():
         "killing the whole matrix) and merge the JSON results",
     )
     ap.add_argument("--child-timeout", type=float, default=1200.0)
+    ap.add_argument(
+        "--engines", default="all", choices=["all", "fast"],
+        help="fast: production engines only; all: also the gather "
+        "formulations (dfa/pallas/mxu), 100x+ slower per measurement",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -408,7 +519,7 @@ def main():
                 with tempfile.NamedTemporaryFile(suffix=".json") as tf:
                     cmd = [sys.executable, os.path.abspath(__file__),
                            "--configs", str(c), "--size", str(args.size),
-                           "--json", tf.name]
+                           "--engines", args.engines, "--json", tf.name]
                     if args.cpu:
                         cmd.append("--cpu")
                     try:
@@ -437,7 +548,7 @@ def main():
         return
     if args.compare_re:
         compare_python_re(args.size)
-    results = run_configs(args.size, which)
+    results = run_configs(args.size, which, engines=args.engines)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)

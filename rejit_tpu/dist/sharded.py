@@ -115,6 +115,129 @@ def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards,
     return L, I
 
 
+def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
+                    num_shards, interpret, use_ff):
+    """Fused select-chain kernel per shard (the production engine) with an
+    exact cross-shard splice: ONE kernel pass per shard. The kernel runs
+    with a neutral (identity) right-edge seed and packs each boundary's
+    shard-end state above its local L; shard summaries (the kernel's final
+    carry G) are all-gathered, every device computes its exclusive suffix
+    tail, and a Q-term select chain applies the tail per boundary. No
+    second sweep, no bounded-window assumption.
+
+    Positions inside the kernel are shard-relative (shard <= 128 MB,
+    schain_pallas.MAX_P); this wrapper re-bases to global int32."""
+    from ..engine import schain as schain_mod
+    from ..kernels import schain_pallas as sp
+
+    S = text_sh.shape[0]
+    d = jax.lax.axis_index(axis)
+    offset = (d * S).astype(jnp.int32)
+    n_loc = jnp.clip(n - offset, 0, S)
+
+    staged = sp.stage_text(st, text_sh, block=block, chl=chl)
+    # Halo: the previous shard's last byte fixes boundary 0's start state.
+    last_b = text_sh[-1:]
+    prev_b = jax.lax.ppermute(
+        last_b, axis, [(i, i + 1) for i in range(num_shards - 1)]
+    )
+    accept_eot = st[5]
+    start_prev = sp.start_states_for(st, prev_b)[0]
+    sk0_t = staged[1]
+    sk00 = jnp.where(d == 0, sk0_t[0, 0], start_prev)
+    staged = (staged[0], sk0_t.at[0, 0].set(sk00), staged[2])
+
+    Q = len(st[2][0])
+    Lpk_t, I_t, G, plan, (nb, nbc, K, CHL) = sp.call_fused(
+        st, n_patterns, staged, n_loc, block=block, chl=chl,
+        interpret=interpret, use_ff=use_ff,
+        seed=sp.neutral_seed(Q), emit_f=True,
+    )
+    Lpk = sp.untile(Lpk_t, nbc, K, CHL)
+
+    # Shard summaries -> exclusive per-shard suffix tails (global m).
+    Gm_g = jnp.where(G[1] >= 0, G[1] + offset, -1)
+    gf = jax.lax.all_gather(G[0], axis, axis=0)          # (D, Q)
+    gm = jax.lax.all_gather(Gm_g, axis, axis=0)
+    gi = jax.lax.all_gather(G[2], axis, axis=0)
+    ae = jnp.asarray(accept_eot, jnp.int32)
+    eot_tail = (
+        jnp.arange(Q, dtype=jnp.int32),
+        jnp.where(ae >= 0, n, -1).astype(jnp.int32),
+        ae,
+    )
+    suf = schain_mod._suffix_scan_schain((gf, gm, gi), eot_tail)
+    tail_m = suf[1][d]                                   # (Q,)
+    tail_i = suf[2][d]
+
+    # Per-boundary tail splice via Q-term selects.
+    F = Lpk >> 27
+    L_loc = (Lpk & ((1 << 27) - 1)) - 1
+    mt = jnp.full(F.shape, -1, jnp.int32)
+    it = jnp.full(F.shape, -1, jnp.int32)
+    for q in range(Q):
+        mt = jnp.where(F == q, tail_m[q], mt)
+        it = jnp.where(F == q, tail_i[q], it)
+    later = mt >= 0
+    L = jnp.where(later, mt, jnp.where(L_loc >= 0, L_loc + offset, -1))
+    if I_t is not None:
+        I = sp.untile(I_t, nbc, K, CHL)
+        I = jnp.where(later, it, I)
+    else:
+        I = jnp.where(L >= 0, 0, -1)
+
+    bidx = offset + jnp.arange(S, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    I = jnp.where(bidx <= n, I, -1)
+    return L, I
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "st", "n_patterns", "block", "chl", "axis", "num_shards", "mesh",
+        "interpret", "use_ff"
+    ),
+)
+def sharded_l_arrays_device_fused(
+    st,
+    n_patterns: int,
+    text_sharded: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    block: int = 128,
+    chl: int = 128,
+    axis: str = "data",
+    num_shards: int = 1,
+    interpret: bool = False,
+    use_ff: bool = True,
+):
+    """Sharded (L, I) via the fused select-chain kernel per shard.
+
+    st = schain.static_tables(tables); shard size must be a multiple of
+    block*8*chl and <= schain_pallas.MAX_P; P > n so boundary n lands in
+    a shard."""
+    fn = jax.shard_map(
+        functools.partial(
+            _local_fused_fn,
+            st,
+            n_patterns,
+            block=block,
+            chl=chl,
+            axis=axis,
+            num_shards=num_shards,
+            interpret=interpret,
+            use_ff=use_ff,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(text_sharded, n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -164,15 +287,44 @@ def sharded_l_arrays(
     axis: str = "data",
     use_pallas: bool = False,
     interpret: bool = False,
+    engine: str = "pipeline",
+    chl: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host wrapper: shard + pad a host text, run, trim to n+1."""
+    """Host wrapper: shard + pad a host text, run, trim to n+1.
+
+    engine='fused' runs the production VMEM-fused select-chain kernel per
+    shard (exact cross-shard splice, see _local_fused_fn); 'pipeline' the
+    jnp gather formulation (use_pallas for its fused byte-step kernels)."""
+    D = mesh.devices.size
+    n = len(text)
+    if engine == "fused":
+        from ..engine import schain as schain_mod
+
+        st = schain_mod.static_tables(tables)
+        chunk = D * block * 8 * chl
+        Pld = ((n + 1 + chunk - 1) // chunk) * chunk   # P > n strictly
+        pad = np.zeros(Pld, dtype=np.uint8)
+        pad[:n] = text
+        sharding = NamedSharding(mesh, P(axis))
+        text_dev = jax.device_put(jnp.asarray(pad), sharding)
+        L, I = sharded_l_arrays_device_fused(
+            st,
+            tables.n_patterns,
+            text_dev,
+            jnp.int32(n),
+            mesh=mesh,
+            block=block,
+            chl=chl,
+            axis=axis,
+            num_shards=D,
+            interpret=interpret,
+        )
+        return np.asarray(L)[: n + 1], np.asarray(I)[: n + 1]
     ct = (
         pipeline.device_tables(tables)
         if not isinstance(tables, DeviceTables)
         else tables
     )
-    D = mesh.devices.size
-    n = len(text)
     chunk = D * block
     if use_pallas:
         from ..kernels.dfa_pallas import CHUNK

@@ -232,17 +232,19 @@ def _combine_packed(A, B, Ai=None, Bi=None, Q=None):
     return out, outi
 
 
-def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
-            nbc, branchless=False):
+def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
+            track_pid, nbc, branchless=False, emit_f=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
     if track_pid:
-        (L_ref, I_ref, sel_scr, isel_scr, g_scr) = refs
+        (L_ref, I_ref, gout_ref, sel_scr, isel_scr, g_scr) = refs
+        body_refs = (L_ref, I_ref, sel_scr, isel_scr, g_scr)
     else:
-        (L_ref, sel_scr, g_scr) = refs
+        (L_ref, gout_ref, sel_scr, g_scr) = refs
+        body_refs = (L_ref, sel_scr, g_scr)
 
     n = n_ref[0]
     step = pl.program_id(0)
@@ -252,14 +254,14 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
     lcol = jax.lax.broadcasted_iota(jnp.int32, (8, CHL), 1)
     posK = (ch * CH + srow * CHL + lcol) * K            # block byte base
 
-    # Rightmost chunk seeds the global suffix with the EOT summary.
+    # Rightmost chunk seeds the global suffix from the seed input: the
+    # EOT summary for a standalone text, or the caller's tail (identity /
+    # cross-shard suffix) in shard mode.
     @pl.when(step == 0)
     def _():
-        for q in range(Q):
-            g_scr[0, q] = q                              # f = identity
-            aq = plan["accept_eot"][q]
-            g_scr[1, q] = jnp.where(aq >= 0, n, -1)      # m
-            g_scr[2, q] = jnp.int32(aq)                  # i
+        for r in range(3):
+            for q in range(Q):
+                g_scr[r, q] = seed_ref[r, q]
 
     # ---- chunk classification: pad / silent-skip / heavy ---------------
     # The pad and silent-skip branches are PURE PERFORMANCE shortcuts:
@@ -274,10 +276,11 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
     # corpus that exercises the skip branch).
     if branchless:
         _kernel_heavy(
-            n, sk0_ref, t32, refs, K=K, CHL=CHL, plan=plan,
+            n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
-            srow=srow, lcol=lcol,
+            srow=srow, lcol=lcol, emit_f=emit_f,
         )
+        _gout(gout_ref, g_scr, Q, step, nbc)
         return
     p0 = ch * CH * K                                     # chunk byte base
     is_pad = p0 >= n                                     # all-invalid chunk
@@ -323,13 +326,19 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
         L00 = jnp.where(eot_here, _sel_scalar(sk000, gm, -1), -1)
         I00 = jnp.where(eot_here, _sel_scalar(sk000, gi, -1), -1)
         neg = jnp.full((8, CHL), -1, jnp.int32)
+        if emit_f:
+            # Invalid bytes are identity maps: a pad boundary's shard-end
+            # state is its own start state (only p0 == n survives masking).
+            L00 = (sk000 << 27) | (L00 + 1)
+            neg = jnp.zeros((8, CHL), jnp.int32)
         L_ref[0:8, :] = jnp.where(first00, L00, neg)
         if track_pid:
-            I_ref[0:8, :] = jnp.where(first00, I00, neg)
+            ineg = jnp.full((8, CHL), -1, jnp.int32)
+            I_ref[0:8, :] = jnp.where(first00, I00, ineg)
         for k in range(1, K):
             L_ref[k * 8:(k + 1) * 8, :] = neg
             if track_pid:
-                I_ref[k * 8:(k + 1) * 8, :] = neg
+                I_ref[k * 8:(k + 1) * 8, :] = ineg
 
     if plan["skip"]:
         @pl.when(skip_ok)
@@ -355,13 +364,20 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
             a_b0 = _sel_scalar(sk000, acc0, jnp.int32(-1))
             L0 = jnp.where(a_b0 >= 0, p0, jnp.int32(-1))
             neg = jnp.full((8, CHL), -1, jnp.int32)
+            if emit_f:
+                # Every in-chunk trajectory is absorbed by dead, which is
+                # also the shard-end state.
+                dpk = jnp.int32(plan["dead"] << 27)
+                L0 = dpk | (L0 + 1)
+                neg = jnp.full((8, CHL), dpk, jnp.int32)
             L_ref[0:8, :] = jnp.where(first00, L0, neg)
             if track_pid:
-                I_ref[0:8, :] = jnp.where(first00, a_b0, neg)
+                ineg = jnp.full((8, CHL), -1, jnp.int32)
+                I_ref[0:8, :] = jnp.where(first00, a_b0, ineg)
             for k in range(1, K):
                 L_ref[k * 8:(k + 1) * 8, :] = neg
                 if track_pid:
-                    I_ref[k * 8:(k + 1) * 8, :] = neg
+                    I_ref[k * 8:(k + 1) * 8, :] = ineg
             for q in range(Q):
                 g_scr[0, q] = jnp.int32(plan["dead"])
                 g_scr[1, q] = jnp.where(acc0[q] >= 0, p0, -1)
@@ -370,14 +386,25 @@ def _kernel(n_ref, sk0_ref, text_ref, *refs, K, CHL, plan, track_pid,
     @pl.when(~is_pad & ~skip_ok)
     def _heavy():
         _kernel_heavy(
-            n, sk0_ref, t32, refs, K=K, CHL=CHL, plan=plan,
+            n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
-            srow=srow, lcol=lcol,
+            srow=srow, lcol=lcol, emit_f=emit_f,
         )
+
+    _gout(gout_ref, g_scr, Q, step, nbc)
+
+
+def _gout(gout_ref, g_scr, Q, step, nbc):
+    """Publish the final carry (the whole text's state-map summary)."""
+    @pl.when(step == nbc - 1)
+    def _():
+        for r in range(3):
+            for q in range(Q):
+                gout_ref[r, q] = g_scr[r, q]
 
 
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
-                  step, posK, srow, lcol):
+                  step, posK, srow, lcol, emit_f=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
@@ -524,8 +551,7 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     def at00(v):
         return jnp.max(jnp.where(mask00, v, jnp.int32(_NEG)))
 
-    @pl.when(step < nbc - 1)
-    def _():
+    if True:  # carry update every step; the final value is the G output
         f0 = [at00(S[q]) >> 27 for q in range(Q)]
         m0 = [(at00(S[q]) & _M27) - 1 for q in range(Q)]
         sxf = [at00(Sx[q]) >> 27 for q in range(Q)]
@@ -560,13 +586,27 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
         m_tail = (mt & _M27) - 1
         later = m_tail >= 0
         L_abs = jnp.where(lrel1 > 0, posK + lrel1 - 1, -1)
-        L_ref[k * 8:(k + 1) * 8, :] = jnp.where(later, m_tail, L_abs)
+        L_val = jnp.where(later, m_tail, L_abs)
+        if emit_f:
+            # Shard mode: pack the boundary's end-of-text state (for the
+            # caller's cross-shard tail splice) above the local L.
+            L_val = ((mt >> 27) << 27) | (L_val + 1)
+        L_ref[k * 8:(k + 1) * 8, :] = L_val
         if track_pid:
             it = Sxi[0]
             for q in range(1, Q):
                 it = jnp.where(cmps[q], Sxi[q], it)
             isel = isel_scr[k * 8:(k + 1) * 8, :]
             I_ref[k * 8:(k + 1) * 8, :] = jnp.where(later, it, isel)
+
+
+def start_states_for(st, prev_bytes):
+    """Boundary start states from previous-byte context (shard halo)."""
+    cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
+    start_runs = tuple(
+        (lo, hi, start_by_ctx[v]) for lo, hi, v in ctx_runs
+    )
+    return schain_mod._by_runs(prev_bytes.astype(jnp.int32), start_runs)
 
 
 def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
@@ -605,6 +645,26 @@ def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
     return tiles, sk0_t, start_eot
 
 
+def solo_seed(plan, n):
+    """Seed for a standalone text: identity map + EOT accepts at n."""
+    Q = plan["Q"]
+    ae = jnp.asarray(plan["accept_eot"], jnp.int32)
+    return jnp.stack([
+        jnp.arange(Q, dtype=jnp.int32),
+        jnp.where(ae >= 0, jnp.int32(n), jnp.int32(-1)),
+        ae,
+    ])
+
+
+def neutral_seed(Q):
+    """Shard-mode seed: identity map, no matches beyond the text."""
+    return jnp.stack([
+        jnp.arange(Q, dtype=jnp.int32),
+        jnp.full(Q, -1, jnp.int32),
+        jnp.full(Q, -1, jnp.int32),
+    ])
+
+
 def call_fused(
     st,
     n_patterns: int,
@@ -615,9 +675,14 @@ def call_fused(
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
     use_ff: bool = True,
+    seed=None,
+    emit_f: bool = False,
 ):
     """Run the kernel on staged text; returns (L_tiles, I_tiles|None,
-    plan, shapes)."""
+    G, plan, shapes). `seed` is the (3, Q) suffix tail at the right edge
+    (default: the standalone EOT seed); `emit_f` packs each boundary's
+    end-of-text state above its local L (shard mode); G is the final
+    carry — the whole text's (f, m, i) state-map summary."""
     K = block
     CHL = chl
     assert CHL & (CHL - 1) == 0, "chl must be a power of two"
@@ -630,6 +695,8 @@ def call_fused(
     plan["skip"] = plan["skip"] and use_ff
     Q = plan["Q"]
     track_pid = n_patterns > 1
+    if seed is None:
+        seed = solo_seed(plan, n)
 
     nlim = jnp.asarray([n], dtype=jnp.int32)
     rev = lambda i: (nbc - 1 - i, 0)  # noqa: E731  right-to-left grid
@@ -649,15 +716,21 @@ def call_fused(
             pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM)
         )
         scratch.insert(1, pltpu.VMEM((K * 8, CHL), jnp.int32))
+    # Final-carry output (tiny, SMEM resident across the grid).
+    out_shapes.append(jax.ShapeDtypeStruct((3, Q), jnp.int32))
+    out_specs.append(
+        pl.BlockSpec((3, Q), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
 
     out = pl.pallas_call(
         functools.partial(
             _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc,
-            branchless=interpret,
+            branchless=interpret, emit_f=emit_f,
         ),
         grid=(nbc,),
         out_shape=tuple(out_shapes),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, CHL), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM),
@@ -668,10 +741,11 @@ def call_fused(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(nlim, sk0_t, tiles)
+    )(nlim, seed, sk0_t, tiles)
     L_tiles = out[0]
     I_tiles = out[1] if track_pid else None
-    return L_tiles, I_tiles, plan, (nb, nbc, K, CHL)
+    G = out[-1]
+    return L_tiles, I_tiles, G, plan, (nb, nbc, K, CHL)
 
 
 def untile(a, nbc, rows, CHL):
@@ -700,7 +774,7 @@ def l_arrays_device_staged(
     use_ff: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) from a staged corpus (see stage_text)."""
-    L_tiles, I_tiles, plan, (nb, nbc, K, CHL) = call_fused(
+    L_tiles, I_tiles, _G, plan, (nb, nbc, K, CHL) = call_fused(
         st, n_patterns, staged, n, block=block, chl=chl,
         interpret=interpret, use_ff=use_ff,
     )

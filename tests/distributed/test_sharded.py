@@ -133,3 +133,52 @@ def test_sharded_match_all_api():
     assert list(zip(starts.tolist(), ends.tolist())) == oracle.match_all(
         rb"[a-z]+", text
     )
+
+
+# ---- fused select-chain engine per shard (production engine) ------------
+
+FUSED_CASES = [
+    [rb"\b\w+ing\b"],
+    [rb"[a-z]+"],
+    [rb"\w+", rb"\s+"],
+    [rb"a*"],
+]
+
+
+@pytest.mark.parametrize(
+    "pats", FUSED_CASES,
+    ids=["+".join(p.decode() for p in ps) for ps in FUSED_CASES],
+)
+def test_sharded_fused_equals_pipeline(pats):
+    """One-pass fused kernel + cross-shard tail splice == gather pipeline
+    scan, bit-equal, across boundary-straddling sizes."""
+    mesh = make_mesh()
+    t = compile_patterns([parser.parse(p) for p in pats])
+    rng = np.random.default_rng(5)
+    soup = np.frombuffer(b"abc defoo barbaz ing singing\n working! .,",
+                         np.uint8)
+    for n in (0, 1, 700, 1023, 1024, 5000):
+        arr = rng.choice(soup, size=max(n, 1)).astype(np.uint8)[:n]
+        L1, I1 = sharded_l_arrays(t, arr, mesh, block=8)
+        L2, I2 = sharded_l_arrays(
+            t, arr, mesh, engine="fused", block=8, chl=2, interpret=True
+        )
+        np.testing.assert_array_equal(L1, L2, err_msg=f"n={n}")
+        np.testing.assert_array_equal(I1, I2, err_msg=f"n={n}")
+
+
+def test_sharded_fused_match_straddles_shards():
+    """A single match spanning several shards is exact (no window)."""
+    mesh = make_mesh()
+    t = compile_patterns([parser.parse(rb"[a-z]+")])
+    # One long run covering most of the corpus: crosses every shard edge.
+    n = 2048
+    text = np.full(n, ord("x"), np.uint8)
+    text[0] = ord(" ")
+    text[-1] = ord(" ")
+    L, I = sharded_l_arrays(
+        t, text, mesh, engine="fused", block=8, chl=2, interpret=True
+    )
+    # L[1] = end of the run = n-1, computed across all 8 shards.
+    assert L[1] == n - 1
+    assert np.all(L[2:n - 1] >= 0)
