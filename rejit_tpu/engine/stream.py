@@ -107,6 +107,71 @@ def chunk_l_arrays_device(
     return L, I, total
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret",
+                     "use_ff"),
+)
+def chunk_l_arrays_device_fused(
+    st,
+    n_patterns: int,
+    text: jnp.ndarray,
+    n_local: jnp.ndarray,
+    tail_has: jnp.ndarray,
+    first_start: jnp.ndarray,
+    *,
+    block: int = 128,
+    chl: int = 128,
+    interpret: bool = False,
+    use_ff: bool = True,
+):
+    """One chunk via the production fused kernel (packed outputs).
+
+    The fused kernel's 27-bit packed positions cannot hold a global tail
+    m (corpora are unbounded), so the kernel runs with a NEUTRAL seed and
+    packs each boundary's chunk-end state above its local L (emit_f, as
+    the sharded path does); `tail_has` is a (Q,) 0/1 vector saying
+    whether the global tail (host-side, int64) has a match from state q.
+    Returns (Lpk, I|None, cand, G): packed L, pids, the candidate mask
+    (local match OR live tail state), and the chunk's own state-map
+    summary G (3, Q) chunk-local — the host composes it with its int64
+    tail to carry leftward.
+    """
+    from ..kernels import schain_pallas as sp
+
+    Q = len(st[2][0])
+    staged = sp.stage_text(st, text, block=block, chl=chl)
+    staged = (staged[0], staged[1].at[0, 0].set(first_start), staged[2])
+    Lpk_t, I_t, G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
+        st, n_patterns, staged, n_local, block=block, chl=chl,
+        interpret=interpret, use_ff=use_ff,
+        seed=sp.neutral_seed(Q), emit_f=True,
+    )
+    Lpk = sp.untile(Lpk_t, nbc, K, CHL)
+    I = sp.untile(I_t, nbc, K, CHL) if I_t is not None else None
+    F = Lpk >> 27
+    L_loc = (Lpk & ((1 << 27) - 1)) - 1
+    th = jnp.zeros(F.shape, jnp.bool_)
+    for q in range(Q):
+        th = jnp.where(F == q, tail_has[q] > 0, th)
+    pos = jnp.arange(Lpk.shape[0], dtype=jnp.int32)
+    cand = (th | (L_loc >= 0)) & (pos <= n_local)
+    return Lpk, I, cand, G
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_packed(cand, Lpk, I, *, cap: int):
+    (pos,) = jnp.nonzero(cand, size=cap, fill_value=-1)
+    pos = pos.astype(jnp.int32)
+    valid = pos >= 0
+    safe = jnp.where(valid, pos, 0)
+    lpk = jnp.where(valid, Lpk[safe], 0)
+    pid = jnp.where(valid, I[safe], -1) if I is not None else jnp.where(
+        valid, 0, -1
+    )
+    return pos, lpk, pid
+
+
 def _fingerprint(
     t: DFATables, source, n: int, chunk_bytes: int, block: int
 ) -> str:
@@ -198,6 +263,8 @@ def stream_candidates(
     progress=None,
     use_pallas: bool = False,
     interpret: bool = False,
+    engine: str = "pipeline",
+    chl: int = 128,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global candidate (pos, end, pid) int64 arrays for a huge corpus.
 
@@ -205,12 +272,19 @@ def stream_candidates(
     np.memmap over a file works and is the intended use. Candidates are the
     per-boundary leftmost-longest L-array entries; feed them to
     select.match_all_candidates for MatchAll semantics (stream_match_all
-    does both).
+    does both). engine='fused' scans each chunk with the production
+    VMEM-fused kernel (chunk must be a multiple of block*8*chl and
+    <= 128 MB); 'pipeline'/use_pallas are the gather formulations.
     """
     from . import spans
 
     grain = block
-    if use_pallas:
+    if engine == "fused":
+        from ..engine import schain as schain_mod
+
+        st = schain_mod.static_tables(tables)
+        grain = block * 8 * chl
+    elif use_pallas:
         from ..kernels.dfa_pallas import CHUNK
 
         grain = block * CHUNK  # pallas grid needs whole CHUNK columns
@@ -276,6 +350,60 @@ def stream_candidates(
         err = None
         for attempt in range(retries):
             try:
+                if engine == "fused":
+                    th = jnp.asarray(
+                        (tail_global[1] >= 0).astype(np.int32)
+                    )
+                    Lpk, Ipk, cand, G = chunk_l_arrays_device_fused(
+                        st,
+                        tables.n_patterns,
+                        jnp.asarray(buf),
+                        jnp.int32(n_local),
+                        th,
+                        jnp.int32(first_start),
+                        block=block,
+                        chl=chl,
+                        interpret=interpret,
+                    )
+                    c = int(jnp.sum(cand, dtype=jnp.int32))
+                    cap = 16
+                    while cap < c:
+                        cap *= 4
+                    posl, lpk, pidl = (
+                        np.asarray(x)[:c]
+                        for x in _compact_packed(cand, Lpk, Ipk, cap=cap)
+                    )
+                    # Host splice in int64: live tail states take their
+                    # global tail match; locals are rebased.
+                    Fh = lpk >> 27
+                    L_loc = (lpk & ((1 << 27) - 1)).astype(np.int64) - 1
+                    tm64 = tail_global[1][Fh]
+                    ti64 = tail_global[2][Fh]
+                    later = tm64 >= 0
+                    end = np.where(later, tm64, L_loc + a)
+                    pid = np.where(later, ti64, pidl.astype(np.int64))
+                    pos = posl
+                    # keep only real candidates (live-tail states whose
+                    # tail match is gone after clamping never happen: th
+                    # came from tail_global, so later == th here)
+                    keep = later | (L_loc >= 0)
+                    pos, end, pid = pos[keep], end[keep], pid[keep]
+                    # Compose chunk map with the int64 tail for the next
+                    # (leftward) chunk.
+                    Gf, Gm, Gi = (np.asarray(x) for x in G)
+                    tf = tail_global[0][Gf]
+                    tl = tail_global[1][Gf] >= 0
+                    tm_ = np.where(
+                        tl, tail_global[1][Gf],
+                        np.where(Gm >= 0, Gm.astype(np.int64) + a, -1),
+                    )
+                    ti = np.where(
+                        tl, tail_global[2][Gf], Gi.astype(np.int64)
+                    )
+                    pos_g = pos.astype(np.int64) + a
+                    end_g = end.astype(np.int64)
+                    tail_global = (tf, tm_, ti)
+                    break
                 L, I, total = chunk_l_arrays_device(
                     ct,
                     jnp.asarray(buf),
@@ -288,6 +416,16 @@ def stream_candidates(
                 )
                 pos, end, pid = spans.candidates_host(L, I)
                 tf, tm_, ti = (np.asarray(x) for x in total)
+                # Rebase outputs to global coordinates.
+                pos_g = pos.astype(np.int64) + a
+                end_g = end.astype(np.int64) + a
+                tail_global = (
+                    tf.astype(np.int64),
+                    np.where(
+                        tm_ >= 0, tm_.astype(np.int64) + a, np.int64(-1)
+                    ),
+                    ti.astype(np.int64),
+                )
                 break
             except Exception as e:  # pragma: no cover - tunnel flakiness
                 err = e
@@ -295,15 +433,6 @@ def stream_candidates(
             raise RuntimeError(
                 f"chunk {i} failed after {retries} attempts"
             ) from err
-
-        # Rebase outputs to global coordinates.
-        pos_g = pos.astype(np.int64) + a
-        end_g = end.astype(np.int64) + a
-        tail_global = (
-            tf.astype(np.int64),
-            np.where(tm_ >= 0, tm_.astype(np.int64) + a, np.int64(-1)),
-            ti.astype(np.int64),
-        )
         state.save_cands(i, pos_g, end_g, pid)
         state.save(i - 1, tail_global)
         if progress is not None:

@@ -276,3 +276,28 @@ def test_stream_oracle_differential_random():
         got = _stream_spans(p, data, chunk_bytes=256)
         want = [(s, e, pid) for s, e, pid in o.tokenize(data)]
         assert got == want, pat
+
+
+def test_stream_fused_engine_equals_pipeline():
+    """engine='fused' (production kernel per chunk + host int64 splice)
+    bit-equals the pipeline chunk engine across chunk-straddling spans."""
+    import numpy as np
+
+    from rejit_tpu.compile import parser as rparser
+    from rejit_tpu.compile.dfa import compile_patterns
+    from rejit_tpu.engine import stream
+
+    rng = np.random.default_rng(5)
+    soup = np.frombuffer(b"abc defoo barbaz ing singing\n working! .,",
+                         np.uint8)
+    for pats in ([rb"\b\w+ing\b"], [rb"\w+", rb"\s+"], [rb"a*"]):
+        t = compile_patterns([rparser.parse(p) for p in pats])
+        for n in (0, 300, 1024, 4096):
+            arr = rng.choice(soup, size=max(n, 1)).astype(np.uint8)[:n]
+            r1 = stream.stream_match_all(t, arr, chunk_bytes=1024, block=8)
+            r2 = stream.stream_match_all(
+                t, arr, chunk_bytes=1024, block=8, chl=2, engine="fused",
+                interpret=True,
+            )
+            for a, b in zip(r1, r2):
+                np.testing.assert_array_equal(a, b, err_msg=f"{pats} n={n}")
