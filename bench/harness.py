@@ -117,7 +117,7 @@ def run_configs(size_mb: float, which, engines="all"):
     import jax.numpy as jnp
 
     from bench.corpus import make_corpus, make_lines_corpus
-    from rejit_tpu import Pattern
+    from rejit_tpu import Config, Pattern
     from rejit_tpu.engine import pipeline, spans
     from rejit_tpu.kernels import literal as lk
     from rejit_tpu import oracle
@@ -172,9 +172,9 @@ def run_configs(size_mb: float, which, engines="all"):
                 report(f"config2_pal_{pat}",
                        tchain(_dfa_step(p, text, jax, jnp, pallas=True), n),
                        n)
-        # auto engine for [a-z]+ is the classrun fast path
-        pc = Pattern("[a-z]+")
-        assert pc.engine == "classrun"
+        # classrun specialization (the CPU auto engine; on accelerators
+        # auto now prefers the fused DFA — see api._select_engine)
+        pc = Pattern("[a-z]+", Config(engine="classrun"))
         from rejit_tpu.kernels import classrun as crk
 
         lut, lo, hi = pc._classrun
@@ -302,10 +302,13 @@ def run_configs(size_mb: float, which, engines="all"):
         ct = pipeline.device_tables(t)
         sharding = NamedSharding(mesh, PartitionSpec("data"))
         text_dev = jax.device_put(jnp.asarray(pad), sharding)
-        step5 = lambda nv: sharded_l_arrays_device(
-            ct, text_dev, nv, mesh=mesh, block=block, num_shards=D
-        )[0].max()
-        report(f"config5_sharded_D{D}", tchain(step5, n), n)
+        if slow:
+            # ~0.003 GB/s class: 16 chained reps exceed the tunnel's
+            # program-kill threshold, so only --engines all measures it.
+            step5 = lambda nv: sharded_l_arrays_device(
+                ct, text_dev, nv, mesh=mesh, block=block, num_shards=D
+            )[0].max()
+            report(f"config5_sharded_D{D}", tchain(step5, n), n)
 
         # Production engine sharded: fused kernel per shard + exact
         # cross-shard tail splice (dist/sharded.py:_local_fused_fn).
@@ -330,12 +333,18 @@ def run_configs(size_mb: float, which, engines="all"):
         from rejit_tpu.engine import stream as rstream
         from rejit_tpu.kernels.dfa_pallas import CHUNK
 
-        use_pal = jax.default_backend() not in ("cpu",)
-        grain = 32 * CHUNK if use_pal else 32
-        cb = max(grain, (n // 4) // grain * grain)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if on_tpu:  # production chunk engine (fused kernel, K=128 CHL=128)
+            grain = 128 * 8 * 128
+            cb = max(grain, (n // 4) // grain * grain)
+        else:
+            grain = 32
+            cb = max(grain, (n // 4) // grain * grain)
         arr = np.frombuffer(corpus, dtype=np.uint8)
         run5 = lambda: rstream.stream_match_all(
-            t, arr, chunk_bytes=cb, use_pallas=use_pal
+            t, arr, chunk_bytes=cb,
+            **({"engine": "fused", "block": 128}
+               if on_tpu else {}),
         )
         s5, _e5, _ = run5()  # warm both chunk shapes
         assert len(s5) == corpus.count(b"packet")

@@ -158,6 +158,16 @@ class Pattern:
         if self.info.literals:
             return "literal"
         if len(self.irs) == 1 and classrun_kernel.detect(self.irs[0]):
+            import jax
+
+            # On accelerators the fused select-chain DFA measured 17x the
+            # classrun specialization (48 vs 2.8 GB/s on [a-z]+,
+            # bench/results_r2_fast.json), so the DFA ladder wins; classrun
+            # stays the CPU auto choice and an explicit engine option.
+            if jax.default_backend() in ("cpu",):
+                return "classrun"
+            if self.config.schain_fused != "off":
+                return "dfa"
             return "classrun"
         return "dfa"
 

@@ -56,8 +56,13 @@ class Config:
 
     # Above this many candidates, MatchAll selection runs on device
     # (pointer doubling, engine/select_device.py) so host transfer stays
-    # O(#matches) instead of O(#candidates).
-    device_select_threshold: int = 65536
+    # O(#matches) instead of O(#candidates). Measured on v5e (round 2,
+    # bench/results_r2_fast.json config4_spans_device): the doubling's
+    # per-level gathers cost ~620 ns/candidate while host transfer +
+    # native C++ greedy selection costs ~0.1-0.2 us/candidate including
+    # the tunnel — the device path never wins at current gather speeds,
+    # so it is opt-in (lower this threshold to re-enable).
+    device_select_threshold: int = 1 << 31
 
     # Fused Pallas kernels for the DFA byte-stepping phases:
     # 'auto' (on TPU backends), 'on', or 'off'.
@@ -109,7 +114,7 @@ class Config:
             selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
             disk_cache=_env_bool("REJIT_TPU_DISK_CACHE", False),
             device_select_threshold=_env_int(
-                "REJIT_TPU_DEVICE_SELECT_THRESHOLD", 65536
+                "REJIT_TPU_DEVICE_SELECT_THRESHOLD", 1 << 31
             ),
             first_window=_env_int("REJIT_TPU_FIRST_WINDOW", 1 << 20),
             pallas=os.environ.get("REJIT_TPU_PALLAS", "auto"),
