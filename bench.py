@@ -91,7 +91,7 @@ def measure_child() -> dict:
     assert got == expected, (got, expected)
     log(f"matches: {got} (verified)")
 
-    def slope(chain_fn, check, R1=1024, R2=4096):
+    def slope(chain_fn, check):
         def timed(reps, k=3):
             ts = []
             for _ in range(k):
@@ -101,8 +101,25 @@ def measure_child() -> dict:
                 check(r)
             return min(ts)
 
-        int(chain_fn(reps=R1))  # compile both shapes outside timing
-        int(chain_fn(reps=R2))
+        # Adaptive rep sizing: double until one program takes ~0.5 s —
+        # the tunneled worker kills programs that run for more than a
+        # few seconds, which a fixed large R hits when the body is
+        # slower than estimated. Each shape is compiled by a throwaway
+        # call so compile time never inflates the sizing measurement.
+        def t_once(reps):
+            int(chain_fn(reps=reps))             # compile / warm
+            a = time.perf_counter()
+            int(chain_fn(reps=reps))
+            return time.perf_counter() - a
+
+        R, tR = 16, t_once(16)
+        while R < 4096 and tR < 0.5:
+            R *= 2
+            tR = t_once(R)
+        R1, R2 = max(4, R // 4), R
+        if R1 == R2:
+            R1 = R2 // 4
+        int(chain_fn(reps=R1))                   # compile R1's shape
         best = None
         for rnd in range(3):
             t1 = timed(R1)
@@ -174,13 +191,14 @@ def measure_child() -> dict:
         ck, _ = jax.lax.scan(body, exp_ck, None, length=reps)
         return ck
 
-    exp_ck = jnp.int32(
-        int(np.sum(np.asarray(s_d), dtype=np.int64) % (1 << 32))
-        + int(np.sum(np.asarray(e_d), dtype=np.int64) % (1 << 32))
-        + int(np.sum(np.asarray(pid_d), dtype=np.int64) % (1 << 32))
+    # Same int32 wraparound arithmetic as the device checksum.
+    raw = (
+        int(np.sum(np.asarray(s_d), dtype=np.int64))
+        + int(np.sum(np.asarray(e_d), dtype=np.int64))
+        + int(np.sum(np.asarray(pid_d), dtype=np.int64))
         + k
-    )
-    exp_int = int(np.int32(np.uint32(int(exp_ck) & 0xFFFFFFFF)))
+    ) & 0xFFFFFFFF
+    exp_int = raw - (1 << 32) if raw >= (1 << 31) else raw
     exp_ck = jnp.int32(exp_int)
     log("spans-out MatchAll (HEADLINE):")
     best_spans = slope(
