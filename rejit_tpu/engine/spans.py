@@ -46,6 +46,64 @@ def _bucket_cap(c: int) -> int:
     return cap
 
 
+@functools.partial(jax.jit, static_argnames=("row_w",))
+def row_max_count(L: jnp.ndarray, *, row_w: int = 256) -> jnp.ndarray:
+    """Max candidates in any row_w-boundary row (for row_cap sizing)."""
+    n = L.shape[0]
+    R = -(-n // row_w)
+    pad = jnp.full(R * row_w - n, -1, L.dtype)
+    rows = jnp.concatenate([L, pad]).reshape(R, row_w)
+    return jnp.max(jnp.sum(rows >= 0, axis=1, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("row_w", "row_cap"))
+def extract_rows_device(
+    L: jnp.ndarray, I: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8
+):
+    """Gather-free candidate extraction: (pos, end, pid, counts) per row.
+
+    jnp.nonzero-based compaction measured ~94 ms per 10 MB on v5e (XLA
+    lowers it through sort/scatter — gather-class ops). This is the
+    compare/select replacement: boundaries reshape to (R, row_w) rows and
+    `row_cap` rounds of masked-argmin peel off the leftmost remaining
+    candidate of every row simultaneously — each round is elementwise ops
+    plus two lane reductions, so the whole extraction streams at VPU
+    speed. Rows with more than row_cap candidates are detected via
+    `counts` (two-phase: size row_cap from row_max_count).
+
+    Returns pos/end/pid of shape (R, row_cap) (-1 padded, candidates in
+    position order within each row) and counts (R,).
+    """
+    n = L.shape[0]
+    R = -(-n // row_w)
+    padL = jnp.full(R * row_w - n, -1, L.dtype)
+    rows_L = jnp.concatenate([L, padL]).reshape(R, row_w)
+    rows_I = jnp.concatenate([I, padL]).reshape(R, row_w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, row_w), 1)
+    base = jnp.arange(R, dtype=jnp.int32)[:, None] * row_w
+    mask = rows_L >= 0
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    BIG = jnp.int32(1 << 30)
+    pos_o, end_o, pid_o = [], [], []
+    for _ in range(row_cap):
+        cand = jnp.where(mask, lane, BIG)
+        m = jnp.min(cand, axis=1)                    # (R,)
+        hit = lane == m[:, None]
+        got = m < BIG
+        pos_o.append(jnp.where(got, m + base[:, 0], -1))
+        end_o.append(
+            jnp.where(got, jnp.max(jnp.where(hit, rows_L, -1), axis=1), -1)
+        )
+        pid_o.append(
+            jnp.where(got, jnp.max(jnp.where(hit, rows_I, -1), axis=1), -1)
+        )
+        mask = mask & ~hit
+    pos = jnp.stack(pos_o, axis=1)                   # (R, row_cap)
+    end = jnp.stack(end_o, axis=1)
+    pid = jnp.stack(pid_o, axis=1)
+    return pos, end, pid, counts
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "overlap_free"))
 def spans_device(
     L: jnp.ndarray, I: jnp.ndarray, *, cap: int, overlap_free: bool
@@ -77,14 +135,35 @@ def spans_device(
 def candidates_host(
     L_dev: jnp.ndarray, I_dev: jnp.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Compact on device, return host (pos, end, pid) arrays (sorted by pos)."""
+    """Extract on device, return host (pos, end, pid) arrays (sorted by pos).
+
+    Two-phase: a cheap device reduce sizes the per-row slot count
+    (bucketed to bound recompiles), then the gather-free row extraction
+    runs and the host drops the -1 padding. Transfer is O(rows * cap)."""
     c = int(candidate_count(L_dev))
     if c == 0:
         z = np.zeros(0, dtype=np.int32)
         return z, z.copy(), z.copy()
-    cap = _bucket_cap(c)
-    pos, end, pid = compact_device(L_dev, I_dev, cap=cap)
-    pos = np.asarray(pos)[:c]
-    end = np.asarray(end)[:c]
-    pid = np.asarray(pid)[:c]
-    return pos, end, pid
+    n = int(L_dev.shape[0])
+    if c * 8 > n:
+        # Dense result (e.g. tokenizers: ~every boundary a candidate):
+        # row extraction would degenerate to O(n * cap); a wholesale
+        # transfer + host flatnonzero is the honest O(n) path.
+        L = np.asarray(L_dev)
+        I = np.asarray(I_dev)
+        pos = np.flatnonzero(L >= 0).astype(np.int32)
+        return pos, L[pos], I[pos]
+    row_w = 256
+    mx = int(row_max_count(L_dev, row_w=row_w))
+    cap = 8
+    while cap < mx:
+        cap *= 4
+    cap = min(cap, row_w)
+    pos, end, pid, _counts = extract_rows_device(
+        L_dev, I_dev, row_w=row_w, row_cap=cap
+    )
+    pos = np.asarray(pos).ravel()
+    end = np.asarray(end).ravel()
+    pid = np.asarray(pid).ravel()
+    keep = pos >= 0
+    return pos[keep], end[keep], pid[keep]
