@@ -113,3 +113,27 @@ void rtn_line_of_offsets(const uint8_t* text, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+// Replacement splice: copy `text` with each [starts[i], ends[i]) span
+// replaced by `rep` (replen bytes). Spans are sorted and non-overlapping
+// (MatchAll output). `out` capacity: n + k*replen - sum(ends-starts).
+// Returns bytes written.
+int64_t rtn_replace_splice(const uint8_t* text, int64_t n,
+                           const int64_t* starts, const int64_t* ends,
+                           int64_t k, const uint8_t* rep, int64_t replen,
+                           uint8_t* out) {
+  int64_t o = 0, pos = 0;
+  for (int64_t i = 0; i < k; i++) {
+    int64_t s = starts[i], e = ends[i];
+    memcpy(out + o, text + pos, (size_t)(s - pos));
+    o += s - pos;
+    memcpy(out + o, rep, (size_t)replen);
+    o += replen;
+    pos = e;
+  }
+  memcpy(out + o, text + pos, (size_t)(n - pos));
+  o += n - pos;
+  return o;
+}
+}  // extern "C"

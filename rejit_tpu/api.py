@@ -622,6 +622,12 @@ class Pattern:
         engine has no captures, docs/SEMANTICS.md)."""
         t = text_to_u8(text)
         r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+        if self.config.selection != "python":
+            from .native import lib as native
+
+            if native.has_replace_splice():
+                starts, ends, _ = self.match_all_arrays(t)
+                return native.replace_splice(t, starts, ends, r)
         data = t.tobytes()
         out = []
         pos = 0

@@ -72,6 +72,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                   # dead state
             ctypes.POINTER(ctypes.c_int32),   # out pattern id
         ]
+        try:
+            lib.rtn_replace_splice.restype = ctypes.c_int64
+            lib.rtn_replace_splice.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # text
+                ctypes.c_int64,                   # n
+                ctypes.POINTER(ctypes.c_int64),   # starts
+                ctypes.POINTER(ctypes.c_int64),   # ends
+                ctypes.c_int64,                   # k
+                ctypes.POINTER(ctypes.c_uint8),   # rep
+                ctypes.c_int64,                   # replen
+                ctypes.POINTER(ctypes.c_uint8),   # out
+            ]
+        except AttributeError:
+            # .so built before this symbol existed; python fallback used.
+            pass
         _LIB = lib
     except OSError:
         _LIB = None
@@ -189,3 +204,33 @@ def dfa_longest(
         tables.n_classes, start_state, tables.dead, ctypes.byref(pid),
     )
     return int(end), int(pid.value)
+
+
+def has_replace_splice() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rtn_replace_splice")
+
+
+def replace_splice(
+    text: np.ndarray, starts: np.ndarray, ends: np.ndarray, rep: bytes
+) -> bytes:
+    """C++ splice of `rep` over sorted non-overlapping [start, end) spans."""
+    lib = _load()
+    assert lib is not None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    r = np.frombuffer(rep, dtype=np.uint8)
+    if len(r) == 0:
+        r = np.zeros(1, dtype=np.uint8)  # valid pointer; replen=len(rep)
+    k = len(s)
+    out_n = len(t) + k * len(rep) - int(np.sum(e - s))
+    out = np.empty(max(out_n, 1), dtype=np.uint8)
+    p = lambda a, ty: a.ctypes.data_as(ctypes.POINTER(ty))
+    wrote = lib.rtn_replace_splice(
+        p(t, ctypes.c_uint8), len(t), p(s, ctypes.c_int64),
+        p(e, ctypes.c_int64), k, p(r, ctypes.c_uint8), len(rep),
+        p(out, ctypes.c_uint8),
+    )
+    assert wrote == out_n, (wrote, out_n)
+    return out[:out_n].tobytes()

@@ -6,7 +6,7 @@ edge cases (empty matches, assertion interplay, class negation) better than
 fixed cases.
 """
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from rejit_tpu import Config, Pattern, oracle
 
@@ -82,3 +82,73 @@ def test_literal_engine_matches_oracle(lits, text):
     orc = oracle.OraclePattern(pat)
     assert p.match_all(text) == orc.match_all(text), (pat, text)
     assert p.match_all_count(text) == orc.match_all_count(text), (pat, text)
+
+
+@given(pat=patterns(), data=st.data())
+@settings(deadline=None, max_examples=60)
+def test_chunk_skip_analysis_sound(pat, data):
+    """The fused kernel's silent-class static analysis (chunk-skip fast
+    path) is semantically sound for arbitrary grammar patterns.
+
+    Interpret-mode CI runs the kernel branchless, so the skip branch's
+    premises are validated here directly against the tables and the XLA
+    engine: (a) the detected dead state is absorbing and silent, (b) any
+    text drawn purely from the silent byte set produces no candidate at
+    any boundary before EOT, (c) every state collapses to dead after one
+    silent byte.
+    """
+    import numpy as np
+
+    from rejit_tpu.compile import parser as rparser
+    from rejit_tpu.compile.dfa import compile_patterns
+    from rejit_tpu.engine import schain
+    from rejit_tpu.kernels.schain_pallas import _plan
+
+    try:
+        tables = compile_patterns([rparser.parse(pat.encode())])
+    except Exception:
+        assume(False)
+    st_ = schain.static_tables(tables)
+    plan = _plan(st_, 8)
+    if not plan["skip"]:
+        assume(False)
+    dead = plan["dead"]
+    cls_runs = st_[0]
+    nxt, acc = st_[2], st_[3]
+    accept_eot = st_[5]
+    C = len(nxt)
+    Q = len(nxt[0])
+    # (a) dead is absorbing + silent + no EOT accept.
+    assert accept_eot[dead] < 0
+    for c in range(C):
+        assert nxt[c][dead] == dead and acc[c][dead] < 0
+    # byte -> class map from runs
+    cls_of = np.zeros(256, np.int32)
+    for lo, hi, v in cls_runs:
+        cls_of[lo:hi + 1] = v
+    silent_bytes = []
+    for lo, hi in plan["silent_runs"]:
+        silent_bytes.extend(range(lo, hi + 1))
+    assert silent_bytes
+    # (c) every state collapses to dead on every silent byte.
+    for b in silent_bytes[:: max(1, len(silent_bytes) // 16)]:
+        c = cls_of[b]
+        for q in range(Q):
+            assert nxt[c][q] == dead
+    # (b) executable check: a pure-silent text has no candidates < EOT.
+    import jax.numpy as jnp
+
+    picks = data.draw(
+        st.lists(
+            st.sampled_from(silent_bytes), min_size=1, max_size=48
+        )
+    )
+    n = len(picks)
+    K = 8
+    P = -(-(n + 1) // K) * K
+    buf = np.zeros(P, np.uint8)
+    buf[:n] = picks
+    L, _ = schain.l_arrays_device_schain(
+        st_, jnp.asarray(buf), jnp.int32(n), block=K
+    )
+    assert not np.any(np.asarray(L)[:n] >= 0), (pat, picks)
