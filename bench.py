@@ -163,10 +163,12 @@ def measure_child() -> dict:
     cap = 8
     while cap < mx:
         cap *= 4
-    assert p.info.overlap_free
-    s_d, e_d, pid_d, cnts = spans_mod.extract_rows_device(
-        L, I, row_w=ROW_W, row_cap=cap
+    assert p.info.overlap_free and p.info.max_len is not None
+    EBITS = (ROW_W + p.info.max_len).bit_length()
+    s_d, e_d, cnts = spans_mod.extract_rows_packed(
+        L, row_w=ROW_W, row_cap=cap, ebits=EBITS
     )
+    pid_d = jnp.where(s_d >= 0, 0, -1)
     # Span parity vs the host path BEFORE timing (VERDICT r1 #2).
     hs, he, hp = p.match_all_arrays(text)
     sp_ = np.asarray(s_d).ravel()
@@ -185,14 +187,13 @@ def measure_child() -> dict:
             # cannot fold it, so the scan body depends on the carry and
             # every rep executes the full spans-out program.
             L, I = l_i(nv + ((c - exp_ck) & 1))
-            s, e, pid, kk = spans_mod.extract_rows_device(
-                L, I, row_w=ROW_W, row_cap=cap
+            s, e, kk = spans_mod.extract_rows_packed(
+                L, row_w=ROW_W, row_cap=cap, ebits=EBITS
             )
             valid = s >= 0
             ck = (
                 jnp.sum(jnp.where(valid, s, 0), dtype=jnp.int32)
                 + jnp.sum(jnp.where(valid, e, 0), dtype=jnp.int32)
-                + jnp.sum(jnp.where(valid, pid, 0), dtype=jnp.int32)
                 + jnp.sum(kk, dtype=jnp.int32)
             )
             return ck, None
@@ -203,7 +204,6 @@ def measure_child() -> dict:
     raw = (
         int(np.sum(sp_[keep], dtype=np.int64))
         + int(np.sum(np.asarray(e_d).ravel()[keep], dtype=np.int64))
-        + int(np.sum(np.asarray(pid_d).ravel()[keep], dtype=np.int64))
         + int(np.sum(np.asarray(cnts), dtype=np.int64))
     ) & 0xFFFFFFFF
     exp_int = raw - (1 << 32) if raw >= (1 << 31) else raw

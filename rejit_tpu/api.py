@@ -376,7 +376,9 @@ class Pattern:
     def _candidates(self, text: np.ndarray):
         """Device-compacted (pos, end, pid) host arrays (spans.py)."""
         L, I = self._l_i_device(text)
-        return spans.candidates_host(L, I)
+        return spans.candidates_host(
+            L, I, max_w=self.info.max_len, n_patterns=len(self.irs)
+        )
 
     # -- MatchType API ------------------------------------------------------
 
@@ -473,7 +475,10 @@ class Pattern:
                     out = select_device.match_all_device(L, I)
                 pos = out[0]
             else:
-                pos, end, pid = spans.candidates_host(L, I)
+                pos, end, pid = spans.candidates_host(
+                    L, I, max_w=self.info.max_len,
+                    n_patterns=len(self.irs),
+                )
                 with Timer() as t_sel:
                     out = select.match_all_candidates(pos, end, pid)
         self.last_stats = MatchStats(

@@ -104,6 +104,50 @@ def extract_rows_device(
     return pos, end, pid, counts
 
 
+@functools.partial(
+    jax.jit, static_argnames=("row_w", "row_cap", "ebits")
+)
+def extract_rows_packed(
+    L: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8, ebits: int = 10
+):
+    """extract_rows_device for width-bounded single-pattern L arrays.
+
+    When every match is at most (2**ebits - row_w) bytes wide, the
+    (lane, end-rowbase) pair packs into one int32 key whose row-min IS
+    the leftmost remaining candidate with its end — one masked min per
+    round over ONE array (the generic path reads L and I and needs a
+    second reduce for the end). Candidate pid is 0 (single pattern).
+
+    Returns (pos, end, counts); shapes as extract_rows_device.
+    """
+    assert row_w <= (1 << ebits)
+    n = L.shape[0]
+    R = -(-n // row_w)
+    padL = jnp.full(R * row_w - n, -1, L.dtype)
+    rows_L = jnp.concatenate([L, padL]).reshape(R, row_w)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, row_w), 1)
+    base = jnp.arange(R, dtype=jnp.int32)[:, None] * row_w
+    mask = rows_L >= 0
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    packed = (lane << ebits) | (rows_L - base)       # end_rel >= 0
+    BIG = jnp.int32(1 << 30)
+    EMASK = (1 << ebits) - 1
+    pos_o, end_o = [], []
+    for _ in range(row_cap):
+        cand = jnp.where(mask, packed, BIG)
+        m = jnp.min(cand, axis=1)                    # (R,)
+        got = m < BIG
+        lane_m = m >> ebits
+        pos_o.append(jnp.where(got, base[:, 0] + lane_m, -1))
+        end_o.append(jnp.where(got, base[:, 0] + (m & EMASK), -1))
+        mask = mask & (lane != lane_m[:, None])
+    return (
+        jnp.stack(pos_o, axis=1),
+        jnp.stack(end_o, axis=1),
+        counts,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "overlap_free"))
 def spans_device(
     L: jnp.ndarray, I: jnp.ndarray, *, cap: int, overlap_free: bool
@@ -133,13 +177,16 @@ def spans_device(
 
 
 def candidates_host(
-    L_dev: jnp.ndarray, I_dev: jnp.ndarray
+    L_dev: jnp.ndarray, I_dev: jnp.ndarray, *,
+    max_w=None, n_patterns=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract on device, return host (pos, end, pid) arrays (sorted by pos).
 
     Two-phase: a cheap device reduce sizes the per-row slot count
     (bucketed to bound recompiles), then the gather-free row extraction
-    runs and the host drops the -1 padding. Transfer is O(rows * cap)."""
+    runs and the host drops the -1 padding. Transfer is O(rows * cap).
+    For width-bounded single patterns (max_w + n_patterns supplied), the
+    packed-key extraction halves device traffic and work."""
     c = int(candidate_count(L_dev))
     if c == 0:
         z = np.zeros(0, dtype=np.int32)
@@ -159,6 +206,20 @@ def candidates_host(
     while cap < mx:
         cap *= 4
     cap = min(cap, row_w)
+    if (
+        n_patterns == 1
+        and max_w is not None
+        and (row_w + max_w).bit_length() + 8 <= 31
+    ):
+        ebits = (row_w + max_w).bit_length()
+        pos, end, _counts = extract_rows_packed(
+            L_dev, row_w=row_w, row_cap=cap, ebits=ebits
+        )
+        pos = np.asarray(pos).ravel()
+        end = np.asarray(end).ravel()
+        keep = pos >= 0
+        pos, end = pos[keep], end[keep]
+        return pos, end, np.zeros(len(pos), dtype=np.int32)
     pos, end, pid, _counts = extract_rows_device(
         L_dev, I_dev, row_w=row_w, row_cap=cap
     )
