@@ -197,6 +197,46 @@ def run_configs(size_mb: float, which, engines="all"):
         report("config3_fused_wb_ing",
                tchain(_fused_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        # Spans-out end-to-end: fused L/I -> gather-free row extraction ->
+        # checksum (the general-DFA analog of the bench.py headline).
+        from rejit_tpu.engine import schain as se3, spans as spans3
+        from rejit_tpu.kernels import schain_pallas as sp3
+
+        K3, CHL3 = 128, 128
+        st3 = se3.static_tables(p.tables)
+        grain3 = K3 * 8 * CHL3
+        P3 = ((n + grain3 - 1) // grain3) * grain3
+        pad3 = np.zeros(P3, dtype=np.uint8)
+        pad3[:n] = text
+        td3 = jax.device_put(jnp.asarray(pad3))
+        staged3 = jax.jit(
+            lambda td: sp3.stage_text(st3, td, block=K3, chl=CHL3)
+        )(td3)
+        L3, I3 = sp3.l_arrays_device_staged(
+            st3, p.tables.n_patterns, staged3, jnp.int32(n),
+            block=K3, chl=CHL3,
+        )
+        mx3 = int(spans3.row_max_count(L3))
+        cap3 = 8
+        while cap3 < mx3:
+            cap3 *= 4
+
+        def step3s(nv):
+            L, I = sp3.l_arrays_device_staged(
+                st3, p.tables.n_patterns, staged3, nv, block=K3, chl=CHL3
+            )
+            s_, e_, pid_, cnt_ = spans3.extract_rows_device(
+                L, I, row_cap=cap3
+            )
+            v = s_ >= 0
+            return (
+                jnp.sum(jnp.where(v, s_, 0), dtype=jnp.int32)
+                + jnp.sum(jnp.where(v, e_, 0), dtype=jnp.int32)
+                + jnp.sum(cnt_, dtype=jnp.int32)
+            )
+
+        report("config3_fused_spans_e2e", tchain(step3s, n), n,
+               f"cap {cap3}")
         report("config3_sch_wb_ing",
                tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")

@@ -56,6 +56,9 @@ IUB = [
 
 def main():
     from rejit_tpu import Pattern
+    from rejit_tpu.runtime.init import enable_compilation_cache
+
+    enable_compilation_cache()
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     data = make_fasta(n)

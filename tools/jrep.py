@@ -92,7 +92,17 @@ def line_info_windowed(text, offsets: np.ndarray, window: int = 16 << 20):
     return line_no, lo, hi
 
 
+def _enable_cache():
+    try:
+        from rejit_tpu.runtime.init import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_cache()
     ap = argparse.ArgumentParser(prog="jrep", add_help=True)
     ap.add_argument("-r", action="store_true", dest="recurse")
     ap.add_argument("-c", action="store_true", dest="count_lines")
