@@ -210,18 +210,23 @@ class Pattern:
             fblock, fchl = self._fused_params()
             grain = fblock * 8 * fchl
             P = _bucket_blocks(max(1, -(-n // grain))) * grain
-            pad = np.zeros(P, dtype=np.uint8)
-            pad[:n] = text
-            return schain_pallas.l_arrays_device_schain_fused(
-                self._schain_static,
-                self.tables.n_patterns,
-                jnp.asarray(pad),
-                jnp.int32(n),
-                block=fblock,
-                chl=fchl,
-                interpret=self.config.interpret,
-                use_ff=self.config.use_ff,
-            )
+            if P <= schain_pallas.max_p(self.tables.n_states):
+                pad = np.zeros(P, dtype=np.uint8)
+                pad[:n] = text
+                return schain_pallas.l_arrays_device_schain_fused(
+                    self._schain_static,
+                    self.tables.n_patterns,
+                    jnp.asarray(pad),
+                    jnp.int32(n),
+                    block=fblock,
+                    chl=fchl,
+                    interpret=self.config.interpret,
+                    use_ff=self.config.use_ff,
+                )
+            # One kernel call can't hold these packed positions (text
+            # beyond max_p for this Q): fall through to the XLA
+            # select-chain engine, which has no packed limit; truly huge
+            # corpora use the streaming API (match_all_stream).
         if self._use_schain():
             from .engine import schain as schain_engine
 

@@ -125,8 +125,8 @@ def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
     tail, and a Q-term select chain applies the tail per boundary. No
     second sweep, no bounded-window assumption.
 
-    Positions inside the kernel are shard-relative (shard <= 128 MB,
-    schain_pallas.MAX_P); this wrapper re-bases to global int32."""
+    Positions inside the kernel are shard-relative (shard <=
+    schain_pallas.max_p(Q) bytes); this wrapper re-bases to global int32."""
     from ..engine import schain as schain_mod
     from ..kernels import schain_pallas as sp
 
@@ -171,8 +171,9 @@ def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
     tail_i = suf[2][d]
 
     # Per-boundary tail splice via Q-term selects.
-    F = Lpk >> 27
-    L_loc = (Lpk & ((1 << 27) - 1)) - 1
+    ms = sp.m_shift(Q)
+    F = Lpk >> ms
+    L_loc = (Lpk & ((1 << ms) - 1)) - 1
     mt = jnp.full(F.shape, -1, jnp.int32)
     it = jnp.full(F.shape, -1, jnp.int32)
     for q in range(Q):
@@ -216,7 +217,7 @@ def sharded_l_arrays_device_fused(
     """Sharded (L, I) via the fused select-chain kernel per shard.
 
     st = schain.static_tables(tables); shard size must be a multiple of
-    block*8*chl and <= schain_pallas.MAX_P; P > n so boundary n lands in
+    block*8*chl and <= schain_pallas.max_p(Q); P > n so boundary n lands
     a shard."""
     fn = jax.shard_map(
         functools.partial(

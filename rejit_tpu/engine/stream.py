@@ -127,7 +127,7 @@ def chunk_l_arrays_device_fused(
 ):
     """One chunk via the production fused kernel (packed outputs).
 
-    The fused kernel's 27-bit packed positions cannot hold a global tail
+    The fused kernel's packed positions cannot hold a global tail
     m (corpora are unbounded), so the kernel runs with a NEUTRAL seed and
     packs each boundary's chunk-end state above its local L (emit_f, as
     the sharded path does); `tail_has` is a (Q,) 0/1 vector saying
@@ -149,8 +149,9 @@ def chunk_l_arrays_device_fused(
     )
     Lpk = sp.untile(Lpk_t, nbc, K, CHL)
     I = sp.untile(I_t, nbc, K, CHL) if I_t is not None else None
-    F = Lpk >> 27
-    L_loc = (Lpk & ((1 << 27) - 1)) - 1
+    ms = sp.m_shift(Q)
+    F = Lpk >> ms
+    L_loc = (Lpk & ((1 << ms) - 1)) - 1
     th = jnp.zeros(F.shape, jnp.bool_)
     for q in range(Q):
         th = jnp.where(F == q, tail_has[q] > 0, th)
@@ -375,8 +376,13 @@ def stream_candidates(
                     )
                     # Host splice in int64: live tail states take their
                     # global tail match; locals are rebased.
-                    Fh = lpk >> 27
-                    L_loc = (lpk & ((1 << 27) - 1)).astype(np.int64) - 1
+                    from ..kernels import schain_pallas as _sp
+
+                    msb = _sp.m_shift(len(st[2][0]))
+                    Fh = lpk >> msb
+                    L_loc = (
+                        (lpk & ((1 << msb) - 1)).astype(np.int64) - 1
+                    )
                     tm64 = tail_global[1][Fh]
                     ti64 = tail_global[2][Fh]
                     later = tm64 >= 0

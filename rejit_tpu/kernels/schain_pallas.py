@@ -28,7 +28,8 @@ Layout/trick inventory (all measured round-1/2, see bench/NOTES.md):
   * per-state carries as separate Python-list arrays, so the select-chain's
     static column permutation is list reindexing (zero shuffles);
   * (f, m) packed one int32 per state: `f << mb | m_rel+1` in the scan,
-    `f << 27 | m_abs+1` in the suffix algebra (=> P < 2^27, Q <= 16);
+    `f << ms | m_abs+1` in the suffix algebra, ms = 31 - ceil(log2 Q)
+    (Q <= 16 -> 128 MB per call; Q <= 64 -> 32 MB; see m_shift/max_p);
   * byte classes / accept bits / start states from raw uint8 text via
     range compares in-kernel — no lookup tables, no class arrays in HBM;
   * dominant byte class is the blend's default branch: one select per
@@ -55,11 +56,24 @@ from ..engine import schain as schain_mod
 
 DEFAULT_CHL = 128   # lane-columns per grid step; CH = 8*CHL blocks/step
 
-MAX_Q = 16          # f must fit above bit 27 in the packed suffix algebra
-MAX_P = (1 << 27) - 2   # absolute positions live in bits [0, 27)
+MAX_Q = 64          # packed-algebra state limit (f bits trade against P)
 
-_M27 = (1 << 27) - 1
 _NEG = -(1 << 31) + 1
+
+
+def m_shift(Q: int) -> int:
+    """Bits for m_abs+1 in the packed (f << ms | m_abs+1) suffix algebra.
+
+    f needs ceil(log2(Q)) bits below the sign bit; the rest hold absolute
+    positions, so the per-call text limit is max_p(Q). Q <= 16 keeps the
+    historical 27-bit/128 MB split; Q = 64 still allows 32 MB per call
+    (larger corpora go through the sharded or streaming wrappers)."""
+    fbits = max(1, (Q - 1).bit_length())
+    return 31 - fbits
+
+
+def max_p(Q: int) -> int:
+    return (1 << m_shift(Q)) - 2
 
 
 def _runs_by_value(runs):
@@ -101,6 +115,7 @@ def _plan(st, K: int):
     Q = len(nxt_cols[0])
     mb = (K + 1).bit_length()          # bits for m_rel+1 in [0, K]
     assert Q <= MAX_Q
+    ms = m_shift(Q)
     class_runs = _runs_by_value(cls_runs)
     # Dominant class = the chain's default branch. Prefer a non-accepting
     # class (its accept blend then needs no complement mask).
@@ -167,7 +182,7 @@ def _plan(st, K: int):
     # on the heavy path).
     skip = dead is not None and _coverage(silent_runs) >= 64
     return dict(
-        C=C, Q=Q, mb=mb, dom=dom,
+        C=C, Q=Q, mb=mb, ms=ms, dom=dom,
         class_runs=class_runs, nxt_cols=nxt_cols, acc_cols=acc_cols,
         s_def=s_def, s_rest=s_rest, srun_by_state=srun_by_state, us0=us0,
         accept_eot=tuple(accept_eot),
@@ -211,19 +226,20 @@ def _shift_cols(x, d, CHL, srow, lcol, fill):
     return jnp.where(srow >= 8 - m, fill, y)
 
 
-def _combine_packed(A, B, Ai=None, Bi=None, Q=None):
-    """Suffix-compose packed (f<<27|m+1) lists: A earlier, B later."""
+def _combine_packed(A, B, Ai=None, Bi=None, Q=None, ms=27):
+    """Suffix-compose packed (f<<ms|m+1) lists: A earlier, B later."""
+    MM = (1 << ms) - 1
     out = []
     outi = [] if Ai is not None else None
     for q in range(Q):
-        t = A[q] >> 27
+        t = A[q] >> ms
         cmps = [t == qq for qq in range(Q)]
         r = B[0]
         for qq in range(1, Q):
             r = jnp.where(cmps[qq], B[qq], r)
-        mbp = r & _M27
+        mbp = r & MM
         later = mbp > 0
-        out.append(jnp.where(later, r, (r & ~_M27) | (A[q] & _M27)))
+        out.append(jnp.where(later, r, (r & ~MM) | (A[q] & MM)))
         if Ai is not None:
             ri = Bi[0]
             for qq in range(1, Q):
@@ -329,7 +345,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
         if emit_f:
             # Invalid bytes are identity maps: a pad boundary's shard-end
             # state is its own start state (only p0 == n survives masking).
-            L00 = (sk000 << 27) | (L00 + 1)
+            L00 = (sk000 << plan["ms"]) | (L00 + 1)
             neg = jnp.zeros((8, CHL), jnp.int32)
         L_ref[0:8, :] = jnp.where(first00, L00, neg)
         if track_pid:
@@ -367,7 +383,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             if emit_f:
                 # Every in-chunk trajectory is absorbed by dead, which is
                 # also the shard-end state.
-                dpk = jnp.int32(plan["dead"] << 27)
+                dpk = jnp.int32(plan["dead"] << plan["ms"])
                 L0 = dpk | (L0 + 1)
                 neg = jnp.full((8, CHL), dpk, jnp.int32)
             L_ref[0:8, :] = jnp.where(first00, L0, neg)
@@ -406,6 +422,7 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                   step, posK, srow, lcol, emit_f=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
+    ms = plan["ms"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
@@ -508,13 +525,13 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
             isel_scr[k * 8:(k + 1) * 8, :] = isel
 
     # ---- 2. in-kernel cross-column suffix scan -------------------------
-    # Absolute-position packed block summaries: f << 27 | (m_abs + 1).
+    # Absolute-position packed block summaries: f << ms | (m_abs + 1).
     S = []
     Si = [] if track_pid else None
     for q in range(Q):
         mrel = pk[q] & MMASK
         mabs1 = jnp.where(mrel > 0, posK + mrel, 0)      # m_abs + 1
-        S.append(((pk[q] >> mb) << 27) | mabs1)
+        S.append(((pk[q] >> mb) << ms) | mabs1)
         if track_pid:
             Si.append(pi[q])
 
@@ -523,7 +540,7 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     Sx = []
     Sxi = [] if track_pid else None
     for q in range(Q):
-        gfill = (g_scr[0, q] << 27) | (g_scr[1, q] + 1)
+        gfill = (g_scr[0, q] << ms) | (g_scr[1, q] + 1)
         Sx.append(_shift_cols(S[q], 1, CHL, srow, lcol, gfill))
         if track_pid:
             Sxi.append(
@@ -532,7 +549,7 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     d = 1
     while d < CH:
         Sh = [
-            _shift_cols(Sx[q], d, CHL, srow, lcol, jnp.int32(q << 27))
+            _shift_cols(Sx[q], d, CHL, srow, lcol, jnp.int32(q << ms))
             for q in range(Q)
         ]
         Shi = (
@@ -542,7 +559,7 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
             ]
             if track_pid else None
         )
-        Sx, Sxi = _combine_packed(Sx, Sh, Sxi, Shi, Q=Q)
+        Sx, Sxi = _combine_packed(Sx, Sh, Sxi, Shi, Q=Q, ms=ms)
         d *= 2
 
     # ---- 4. carry update: G_new = combine(block_0, Sx[0]) --------------
@@ -552,10 +569,11 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
         return jnp.max(jnp.where(mask00, v, jnp.int32(_NEG)))
 
     if True:  # carry update every step; the final value is the G output
-        f0 = [at00(S[q]) >> 27 for q in range(Q)]
-        m0 = [(at00(S[q]) & _M27) - 1 for q in range(Q)]
-        sxf = [at00(Sx[q]) >> 27 for q in range(Q)]
-        sxm = [(at00(Sx[q]) & _M27) - 1 for q in range(Q)]
+        MM = (1 << ms) - 1
+        f0 = [at00(S[q]) >> ms for q in range(Q)]
+        m0 = [(at00(S[q]) & MM) - 1 for q in range(Q)]
+        sxf = [at00(Sx[q]) >> ms for q in range(Q)]
+        sxm = [(at00(Sx[q]) & MM) - 1 for q in range(Q)]
         if track_pid:
             i0 = [at00(Si[q]) for q in range(Q)]
             sxi = [at00(Sxi[q]) for q in range(Q)]
@@ -583,14 +601,14 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
         mt = Sx[0]
         for q in range(1, Q):
             mt = jnp.where(cmps[q], Sx[q], mt)
-        m_tail = (mt & _M27) - 1
+        m_tail = (mt & ((1 << ms) - 1)) - 1
         later = m_tail >= 0
         L_abs = jnp.where(lrel1 > 0, posK + lrel1 - 1, -1)
         L_val = jnp.where(later, m_tail, L_abs)
         if emit_f:
             # Shard mode: pack the boundary's end-of-text state (for the
             # caller's cross-shard tail splice) above the local L.
-            L_val = ((mt >> 27) << 27) | (L_val + 1)
+            L_val = ((mt >> ms) << ms) | (L_val + 1)
         L_ref[k * 8:(k + 1) * 8, :] = L_val
         if track_pid:
             it = Sxi[0]
@@ -688,10 +706,14 @@ def call_fused(
     assert CHL & (CHL - 1) == 0, "chl must be a power of two"
     tiles, sk0_t, _start_eot = staged
     P = tiles.shape[0] * CHL
-    assert P <= MAX_P
     nb = P // K
     nbc = nb // (8 * CHL)
     plan = _plan(st, K)
+    assert P <= max_p(plan["Q"]), (
+        f"text of {P} bytes exceeds the packed-position limit "
+        f"{max_p(plan['Q'])} for Q={plan['Q']} states; use the sharded or "
+        "streaming wrappers"
+    )
     plan["skip"] = plan["skip"] and use_ff
     Q = plan["Q"]
     track_pid = n_patterns > 1
@@ -817,7 +839,7 @@ def l_arrays_device_schain_fused(
     """Drop-in for engine/schain.l_arrays_device_schain.
 
     `st` = schain.static_tables(tables); `text` uint8 of length P, a
-    multiple of block*8*chl (and <= MAX_P); `n` int32 scalar true length.
+    multiple of block*8*chl (and <= max_p(Q)); `n` int32 scalar length.
     """
     staged = stage_text(st, text, block=block, chl=chl)
     return l_arrays_device_staged(

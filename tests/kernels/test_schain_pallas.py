@@ -203,3 +203,28 @@ def test_chunk_skip_oracle_sparse():
     p = Pattern(r"\b\w+ing\b", cfg)
     o = OraclePattern([rb"\b\w+ing\b"])
     assert p.match_all(raw) == [(s, e) for s, e in o.match_all(raw)]
+
+
+def test_fused_large_q():
+    """Q in (16, 64]: the parametric packed-bit split (m_shift) is exact."""
+    pats = [rb"(abcdefgh|ijklmnop|qrstuvwx)\d{2}"]
+    t = compile_patterns([parser.parse(p) for p in pats])
+    assert 16 < t.n_states <= 64, t.n_states
+    assert schain_pallas.m_shift(t.n_states) < 27
+    st = schain.static_tables(t)
+    K, CHL = 8, 2
+    grain = K * 8 * CHL
+    txt = b"..abcdefgh12..ijklmnop34..qrstuvwx5x.."
+    n = len(txt)
+    P = -(-(n + 1) // grain) * grain
+    pad = np.zeros(P, np.uint8)
+    pad[:n] = np.frombuffer(txt, np.uint8)
+    td = jnp.asarray(pad)
+    L1, I1 = schain.l_arrays_device_schain(st, td, jnp.int32(n), block=K)
+    L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+        st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+    np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+    assert int(np.asarray(L2)[2]) == 12          # abcdefgh12 at 2..12
