@@ -11,6 +11,7 @@ docs/SEMANTICS.md.
 """
 
 from .api import (  # noqa: F401
+    DeviceCorpus,
     MatchAll,
     MatchAllCount,
     MatchAnywhere,
@@ -30,6 +31,7 @@ from .api import (  # noqa: F401
     replace,
     replace_all,
     replace_first,
+    stage,
 )
 from .config import Config  # noqa: F401
 from .errors import CompileError, RegexpError, RejitTpuError  # noqa: F401

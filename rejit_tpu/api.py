@@ -33,6 +33,8 @@ PatternLike = Union[str, bytes]
 
 
 def text_to_u8(text: TextLike) -> np.ndarray:
+    if isinstance(text, DeviceCorpus):
+        return text.host
     if isinstance(text, str):
         text = text.encode("utf-8")
     if isinstance(text, (bytes, bytearray)):
@@ -44,6 +46,60 @@ def text_to_u8(text: TextLike) -> np.ndarray:
             f"{arr.dtype} array of rank {arr.ndim}"
         )
     return arr
+
+
+class DeviceCorpus:
+    """A corpus staged on device for repeated scanning (BASELINE protocol:
+    device-resident corpus, staged once, scanned by many patterns/calls).
+
+    Pass it anywhere a text is accepted; the fused DFA engine then skips
+    the host->device copy and the tiling transpose on every call. Staged
+    forms are cached per (pattern, kernel geometry); the raw bytes stay
+    available for host paths.
+    """
+
+    def __init__(self, text: TextLike):
+        self.host = text_to_u8(text)
+        self.n = len(self.host)
+        self._padded = {}     # (grain, P) -> device uint8
+        self._staged = {}     # (pattern source, K, CHL) -> staged tuple
+
+    def _padded_dev(self, grain: int):
+        P = _bucket_blocks(max(1, -(-self.n // grain))) * grain
+        key = (grain, P)
+        if key not in self._padded:
+            import jax
+
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:self.n] = self.host
+            self._padded[key] = jax.device_put(jnp.asarray(pad))
+        return self._padded[key], P
+
+    def staged_for(self, pattern: "Pattern", K: int, CHL: int):
+        from .kernels import schain_pallas
+
+        key = (pattern.source, K, CHL)
+        if key not in self._staged:
+            import jax
+
+            td, _P = self._padded_dev(K * 8 * CHL)
+            st = pattern._schain_static
+            self._staged[key] = jax.jit(
+                lambda t: schain_pallas.stage_text(st, t, block=K, chl=CHL)
+            )(td)
+        return self._staged[key]
+
+
+def stage(text: TextLike) -> DeviceCorpus:
+    """Stage a corpus on device for repeated scanning."""
+    return DeviceCorpus(text)
+
+
+def _unwrap(text):
+    """(host uint8 array, DeviceCorpus | None)."""
+    if isinstance(text, DeviceCorpus):
+        return text.host, text
+    return text_to_u8(text), None
 
 
 def _bucket_blocks(nb: int) -> int:
@@ -173,7 +229,7 @@ class Pattern:
 
     # -- internals ----------------------------------------------------------
 
-    def _l_i_device(self, text: np.ndarray):
+    def _l_i_device(self, text: np.ndarray, corpus=None):
         """Compute (L, I) device arrays (length P+1, -1 past n) for `text`."""
         n = len(text)
         if self.engine == "classrun":
@@ -211,6 +267,18 @@ class Pattern:
             grain = fblock * 8 * fchl
             P = _bucket_blocks(max(1, -(-n // grain))) * grain
             if P <= schain_pallas.max_p(self.tables.n_states):
+                if corpus is not None:
+                    staged = corpus.staged_for(self, fblock, fchl)
+                    return schain_pallas.l_arrays_device_staged(
+                        self._schain_static,
+                        self.tables.n_patterns,
+                        staged,
+                        jnp.int32(n),
+                        block=fblock,
+                        chl=fchl,
+                        interpret=self.config.interpret,
+                        use_ff=self.config.use_ff,
+                    )
                 pad = np.zeros(P, dtype=np.uint8)
                 pad[:n] = text
                 return schain_pallas.l_arrays_device_schain_fused(
@@ -465,15 +533,16 @@ class Pattern:
         self, text: TextLike
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """MatchAll as (starts, ends, pattern_ids) numpy arrays — the
-        no-Python-objects path for large result sets."""
-        t = text_to_u8(text)
+        no-Python-objects path for large result sets. `text` may be a
+        DeviceCorpus (see `stage`) to skip per-call staging."""
+        t, corpus = _unwrap(text)
         if self._oracle:
             triples = self._oracle.match_all_ids(t.tobytes())
             arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
             return arr[:, 0], arr[:, 1], arr[:, 2]
         with Timer() as t_all:
             with Timer() as t_dev:
-                L, I = self._l_i_device(t)
+                L, I = self._l_i_device(t, corpus=corpus)
                 n_cand = int(spans.candidate_count(L))
             if n_cand > self.config.device_select_threshold:
                 with Timer() as t_sel:

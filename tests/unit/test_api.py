@@ -116,3 +116,24 @@ def test_camelcase_aliases():
     assert rejit_tpu.MatchFull("a+", b"aaa")
     assert rejit_tpu.MatchAllCount("a", b"aaa") == 3
     assert rejit_tpu.Regej is rejit_tpu.Pattern
+
+
+def test_device_corpus_staged_scanning():
+    """DeviceCorpus (staged-once serving model) matches the bytes path
+    across engines and repeated calls; multiple patterns share staging."""
+    from rejit_tpu import Config, Pattern, stage
+
+    txt = b"." * 300 + b"singing and winging" + b"." * 300
+    corpus = stage(txt)
+    cfg = Config(engine="dfa", schain_fused="on", interpret=True,
+                 block_size=8)
+    p = Pattern(r"\b\w+ing\b", cfg)
+    assert p.match_all(txt) == p.match_all(corpus) == p.match_all(corpus)
+    assert p.match_all_count(corpus) == 2
+    p2 = Pattern(r"[a-z]+", cfg)
+    assert p2.match_all(corpus) == p2.match_all(txt)
+    # host-path engines accept the corpus too
+    p3 = Pattern("singing")
+    assert p3.engine == "literal"
+    assert p3.match_all(corpus) == p3.match_all(txt)
+    assert p3.match_first(corpus) == (300, 307)
