@@ -625,12 +625,35 @@ class Pattern:
         from .engine import stream
         from .kernels.dfa_pallas import CHUNK
 
+        tables = self._dfa_tables()
+        if self._use_schain_fused():
+            from .kernels import schain_pallas
+
+            fblock, fchl = self._fused_params()
+            grain = fblock * 8 * fchl
+            if (
+                chunk_bytes % grain == 0
+                and chunk_bytes <= schain_pallas.max_p(tables.n_states)
+            ):
+                # Production chunk engine: fused kernel per chunk
+                # (engine/stream.py chunk_l_arrays_device_fused).
+                return stream.stream_match_all(
+                    tables,
+                    self._stream_source(source),
+                    chunk_bytes=chunk_bytes,
+                    block=fblock,
+                    chl=fchl,
+                    engine="fused",
+                    state_dir=state_dir,
+                    progress=progress,
+                    interpret=self.config.interpret,
+                )
         use_pallas = (
             self._use_pallas()
             and chunk_bytes % (self.config.block_size * CHUNK) == 0
         )
         return stream.stream_match_all(
-            self._dfa_tables(),
+            tables,
             self._stream_source(source),
             chunk_bytes=chunk_bytes,
             block=self.config.block_size,
