@@ -72,8 +72,8 @@ def main():
     from rejit_tpu.compile import parser as rparser
     from rejit_tpu.compile.dfa import compile_patterns
     from rejit_tpu.dist.mesh import make_mesh
-    from rejit_tpu.dist.sharded import sharded_l_arrays_device
-    from rejit_tpu.engine import pipeline
+    from rejit_tpu.dist.sharded import sharded_l_arrays_device_fused
+    from rejit_tpu.engine import schain
     from rejit_tpu.runtime.init import enable_compilation_cache
 
     enable_compilation_cache()
@@ -83,8 +83,13 @@ def main():
     n = len(corpus)
     text = np.frombuffer(corpus, dtype=np.uint8)
     t = compile_patterns([rparser.parse(rb"\b\w+ing\b")])
-    ct = pipeline.device_tables(t)
-    block = 16
+    st = schain.static_tables(t)
+    # Production engine per shard (fused kernel + exact splice); small
+    # geometry on the CPU mesh so interpret stays cheap.
+    if args.cpu:
+        block, chl, interp = 8, 8, True
+    else:
+        block, chl, interp = 128, 128, False
 
     devices = jax.devices()
     results = {}
@@ -92,7 +97,7 @@ def main():
     counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
     for D in counts:
         mesh = make_mesh(devices[:D])
-        chunk = D * block
+        chunk = D * block * 8 * chl
         P = ((n + 1 + chunk - 1) // chunk) * chunk
         pad = np.zeros(P, dtype=np.uint8)
         pad[:n] = text
@@ -100,8 +105,9 @@ def main():
             jax.numpy.asarray(pad), NamedSharding(mesh, PartitionSpec("data"))
         )
         nd = jax.numpy.int32(n)
-        fn = lambda: sharded_l_arrays_device(
-            ct, td, nd, mesh=mesh, block=block, num_shards=D
+        fn = lambda: sharded_l_arrays_device_fused(
+            st, t.n_patterns, td, nd, mesh=mesh, block=block, chl=chl,
+            num_shards=D, interpret=interp,
         )
         dt = tmed(fn)
         bps = n / dt

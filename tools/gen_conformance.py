@@ -200,6 +200,21 @@ add("a*", b"", "nullable on empty text")
 add("^$", b"", "anchors on empty text")
 add("$", b"", "bare eol empty text")
 
+# Round-2 machinery: large-Q patterns (parametric packed-bit split) and
+# silent-chunk textures (the fused kernel's fast-forward skip branch).
+add(r"(abcdefgh|ijklmnop|qrstuvwx)\d{2}",
+    b"..abcdefgh12..ijklmnop34..qrstuvwx5x..abcdefgh99",
+    "large-Q alternation (Q>16)")
+add(r"(abcdefgh|ijklmnop|qrstuvwx)\d{2}", b"." * 300,
+    "large-Q all-silent text")
+add(r"\b\w+ing\b", b"." * 200 + b"singing" + b"." * 200,
+    "silent chunks around one island")
+add(r"\b\w+ing\b", b"." * 249 + b"singing" + b" " * 250,
+    "match accepting byte at silent-region start")
+add(r"[a-z]+", b"0123456789" * 40, "digits only: all silent for [a-z]+")
+add(r"\w+", b" . , ; " * 60 + b"word" + b" . , ; " * 60,
+    "sparse word in punctuation")
+
 out = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests",
