@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--pat", default=r"\b\w+ing\b")
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--stage", default="full", choices=["full", "kernel"])
+    ap.add_argument("--stage", default="full",
+                    choices=["full", "kernel", "count"])
     ap.add_argument("--corpus", default="text", choices=["text", "sparse"],
                     help="sparse: punctuation-heavy corpus exercising the "
                          "chunk-skip fast path")
@@ -102,7 +103,15 @@ def main():
         assert bool(jnp.array_equal(I1, I2)), "I mismatch on TPU"
         log("on-TPU bit-equality with XLA schain: OK")
 
-    if args.stage == "kernel":
+    if args.stage == "count":
+        staged_c = staged
+
+        def step(nv):
+            return sp.count_device_staged(
+                st, t.n_patterns, staged_c, nv, block=K, chl=CHL,
+                use_ff=not args.no_ff,
+            )
+    elif args.stage == "kernel":
         import functools
 
         @functools.partial(jax.jit, static_argnames=())

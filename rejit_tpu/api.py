@@ -573,7 +573,7 @@ class Pattern:
         return list(zip(starts.tolist(), ends.tolist(), pids.tolist()))
 
     def match_all_count(self, text: TextLike) -> int:
-        t = text_to_u8(text)
+        t, corpus = _unwrap(text)
         if self._oracle:
             return self._oracle.match_all_count(t.tobytes())
         if self.engine == "literal" and self.info.overlap_free:
@@ -586,6 +586,50 @@ class Pattern:
                 jnp.asarray(ext), jnp.int32(n), lits=self.info.literals, P=P
             )
             return int(cnt)
+        if (
+            self.engine == "dfa"
+            and self.info.overlap_free
+            and self._use_schain_fused()
+        ):
+            # Overlap-free: every candidate is a match, so MatchAllCount
+            # is a pure device reduction — no L/I arrays materialize
+            # (kernels/schain_pallas.count_device_staged).
+            from .engine import schain as schain_engine
+            from .kernels import schain_pallas
+
+            if self._schain_static is None:
+                self._schain_static = schain_engine.static_tables(
+                    self.tables
+                )
+            fblock, fchl = self._fused_params()
+            grain = fblock * 8 * fchl
+            n = len(t)
+            P = _bucket_blocks(max(1, -(-n // grain))) * grain
+            if P <= schain_pallas.max_p(self.tables.n_states):
+                if corpus is not None:
+                    staged = corpus.staged_for(self, fblock, fchl)
+                else:
+                    pad = np.zeros(P, dtype=np.uint8)
+                    pad[:n] = t
+                    import jax
+
+                    staged = jax.jit(
+                        lambda td: schain_pallas.stage_text(
+                            self._schain_static, td,
+                            block=fblock, chl=fchl,
+                        )
+                    )(jnp.asarray(pad))
+                cnt = schain_pallas.count_device_staged(
+                    self._schain_static,
+                    self.tables.n_patterns,
+                    staged,
+                    jnp.int32(n),
+                    block=fblock,
+                    chl=fchl,
+                    interpret=self.config.interpret,
+                    use_ff=self.config.use_ff,
+                )
+                return int(cnt)
         return len(self.match_all_arrays(text)[0])
 
     # -- Streaming API (corpora larger than device memory) ------------------

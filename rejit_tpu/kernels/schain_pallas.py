@@ -249,13 +249,17 @@ def _combine_packed(A, B, Ai=None, Bi=None, Q=None, ms=27):
 
 
 def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
-            track_pid, nbc, branchless=False, emit_f=False):
+            track_pid, nbc, branchless=False, emit_f=False,
+            count_only=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
-    if track_pid:
+    if count_only:
+        (cnt_ref, gout_ref, sel_scr, g_scr) = refs
+        body_refs = (cnt_ref, sel_scr, g_scr)
+    elif track_pid:
         (L_ref, I_ref, gout_ref, sel_scr, isel_scr, g_scr) = refs
         body_refs = (L_ref, I_ref, sel_scr, isel_scr, g_scr)
     else:
@@ -278,6 +282,8 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
         for r in range(3):
             for q in range(Q):
                 g_scr[r, q] = seed_ref[r, q]
+        if count_only:
+            cnt_ref[0, 0] = 0
 
     # ---- chunk classification: pad / silent-skip / heavy ---------------
     # The pad and silent-skip branches are PURE PERFORMANCE shortcuts:
@@ -294,7 +300,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
         _kernel_heavy(
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
-            srow=srow, lcol=lcol, emit_f=emit_f,
+            srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -341,6 +347,9 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
         eot_here = p0 == n
         L00 = jnp.where(eot_here, _sel_scalar(sk000, gm, -1), -1)
         I00 = jnp.where(eot_here, _sel_scalar(sk000, gi, -1), -1)
+        if count_only:
+            cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.where(L00 >= 0, 1, 0)
+            return
         neg = jnp.full((8, CHL), -1, jnp.int32)
         if emit_f:
             # Invalid bytes are identity maps: a pad boundary's shard-end
@@ -378,6 +387,13 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
                 acc0.append(a)
             sk000 = jnp.max(jnp.where(first00, sk0_ref[:], 0))
             a_b0 = _sel_scalar(sk000, acc0, jnp.int32(-1))
+            if count_only:
+                cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.where(a_b0 >= 0, 1, 0)
+                for q in range(Q):
+                    g_scr[0, q] = jnp.int32(plan["dead"])
+                    g_scr[1, q] = jnp.where(acc0[q] >= 0, p0, -1)
+                    g_scr[2, q] = acc0[q]
+                return
             L0 = jnp.where(a_b0 >= 0, p0, jnp.int32(-1))
             neg = jnp.full((8, CHL), -1, jnp.int32)
             if emit_f:
@@ -404,7 +420,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
         _kernel_heavy(
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
-            srow=srow, lcol=lcol, emit_f=emit_f,
+            srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -420,14 +436,16 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 
 
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
-                  step, posK, srow, lcol, emit_f=False):
+                  step, posK, srow, lcol, emit_f=False, count_only=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
-    if track_pid:
+    if count_only:
+        (cnt_ref, sel_scr, g_scr) = refs
+    elif track_pid:
         (L_ref, I_ref, sel_scr, isel_scr, g_scr) = refs
     else:
         (L_ref, sel_scr, g_scr) = refs
@@ -592,7 +610,8 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                     jnp.where(later, gm, m0[q]) >= 0, 0, -1
                 )
 
-    # ---- 3. tail splice: absolute L (and I) tiles ----------------------
+    # ---- 3. tail splice: absolute L (and I) tiles (or the count) -------
+    csum = None
     for k in range(K):
         sel = sel_scr[k * 8:(k + 1) * 8, :]
         F = sel >> mb
@@ -605,6 +624,11 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
         later = m_tail >= 0
         L_abs = jnp.where(lrel1 > 0, posK + lrel1 - 1, -1)
         L_val = jnp.where(later, m_tail, L_abs)
+        if count_only:
+            # The array path masks bidx > n in its epilogue; do it here.
+            ck = ((L_val >= 0) & (posK + k <= n)).astype(jnp.int32)
+            csum = ck if csum is None else (csum + ck)
+            continue
         if emit_f:
             # Shard mode: pack the boundary's end-of-text state (for the
             # caller's cross-shard tail splice) above the local L.
@@ -616,6 +640,8 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                 it = jnp.where(cmps[q], Sxi[q], it)
             isel = isel_scr[k * 8:(k + 1) * 8, :]
             I_ref[k * 8:(k + 1) * 8, :] = jnp.where(later, it, isel)
+    if count_only:
+        cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(csum, dtype=jnp.int32)
 
 
 def start_states_for(st, prev_bytes):
@@ -695,12 +721,16 @@ def call_fused(
     use_ff: bool = True,
     seed=None,
     emit_f: bool = False,
+    count_only: bool = False,
 ):
     """Run the kernel on staged text; returns (L_tiles, I_tiles|None,
     G, plan, shapes). `seed` is the (3, Q) suffix tail at the right edge
     (default: the standalone EOT seed); `emit_f` packs each boundary's
     end-of-text state above its local L (shard mode); G is the final
-    carry — the whole text's (f, m, i) state-map summary."""
+    carry — the whole text's (f, m, i) state-map summary. `count_only`
+    emits no L/I at all — just the candidate count (a pure reduction; the
+    MatchAllCount path for overlap-free patterns): L_tiles is then the
+    (1, 1) count and I_tiles is None."""
     K = block
     CHL = chl
     assert CHL & (CHL - 1) == 0, "chl must be a power of two"
@@ -716,16 +746,25 @@ def call_fused(
     )
     plan["skip"] = plan["skip"] and use_ff
     Q = plan["Q"]
-    track_pid = n_patterns > 1
+    track_pid = n_patterns > 1 and not count_only
+    if count_only:
+        assert not emit_f
     if seed is None:
         seed = solo_seed(plan, n)
 
     nlim = jnp.asarray([n], dtype=jnp.int32)
     rev = lambda i: (nbc - 1 - i, 0)  # noqa: E731  right-to-left grid
-    out_shapes = [jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)]
-    out_specs = [
-        pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM)
-    ]
+    if count_only:
+        out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+        out_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)]
+        out_specs = [
+            pl.BlockSpec((K * 8, CHL), rev, memory_space=pltpu.VMEM)
+        ]
     scratch = [
         pltpu.VMEM((K * 8, CHL), jnp.int32),             # sel stash
         pltpu.SMEM((3, Q), jnp.int32),                   # global suffix
@@ -747,7 +786,7 @@ def call_fused(
     out = pl.pallas_call(
         functools.partial(
             _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc,
-            branchless=interpret, emit_f=emit_f,
+            branchless=interpret, emit_f=emit_f, count_only=count_only,
         ),
         grid=(nbc,),
         out_shape=tuple(out_shapes),
@@ -845,4 +884,39 @@ def l_arrays_device_schain_fused(
     return l_arrays_device_staged(
         st, n_patterns, staged, n, block=block, chl=chl,
         interpret=interpret, use_ff=use_ff,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret",
+                     "use_ff"),
+)
+def count_device_staged(
+    st,
+    n_patterns: int,
+    staged,
+    n: jnp.ndarray,
+    *,
+    block: int = 32,
+    chl: int = DEFAULT_CHL,
+    interpret: bool = False,
+    use_ff: bool = True,
+) -> jnp.ndarray:
+    """Candidate count as a pure device reduction — no L/I arrays ever
+    materialize (MatchAllCount for overlap-free patterns: every candidate
+    is a match, so the count IS the answer). Sparse corpora run at the
+    text-streaming floor (the skip branch writes nothing)."""
+    cnt, _none, _G, plan, _dims = call_fused(
+        st, n_patterns, staged, n, block=block, chl=chl,
+        interpret=interpret, use_ff=use_ff, count_only=True,
+    )
+    # EOT boundary: emitted by the kernel when n < P (it is an ordinary
+    # in-range boundary there); only n == P needs the epilogue row.
+    P = _dims[0] * _dims[2]
+    start_eot = staged[2]
+    ae = jnp.asarray(plan["accept_eot"], jnp.int32)
+    eot_pid = schain_mod._sel_q(start_eot[None, None], ae[None, :])[0, 0]
+    return cnt[0, 0] + jnp.where(
+        (n == P) & (eot_pid >= 0), 1, 0
     )

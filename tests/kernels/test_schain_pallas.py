@@ -228,3 +228,19 @@ def test_fused_large_q():
     np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
     np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
     assert int(np.asarray(L2)[2]) == 12          # abcdefgh12 at 2..12
+
+
+def test_count_mode_equals_len_match_all():
+    """count_device_staged (pure reduction) == len(match_all) for
+    overlap-free patterns, incl. through the public API."""
+    cfg = Config(engine="dfa", schain_fused="on", interpret=True,
+                 block_size=8, fused_block=8, fused_chl=2)
+    for pat in (r"\b\w+ing\b", r"a+$", r"x{2,4}"):
+        p = Pattern(pat, cfg)
+        if not p.info.overlap_free:
+            continue
+        for txt in (b"", b"singing", b"." * 300 + b"singing" + b"." * 300,
+                    b"sing winging xx xxxx baaa " * 10):
+            assert p.match_all_count(txt) == len(p.match_all(txt)), (
+                pat, txt[:20]
+            )
