@@ -215,6 +215,12 @@ add(r"[a-z]+", b"0123456789" * 40, "digits only: all silent for [a-z]+")
 add(r"\w+", b" . , ; " * 60 + b"word" + b" . , ; " * 60,
     "sparse word in punctuation")
 
+# Binary-safe scanning: NUL and high bytes are ordinary input bytes.
+add(r"\w+", b"ab\x00cd\x00\x00ef", "NUL bytes split words")
+add("a", b"\x00a\x00a\x00", "literal among NULs")
+add(r"[^\x00]+", b"\x00ab\x00\xffzz\x00", "negated-NUL class, high bytes")
+add(r"\xff+", b"a\xff\xff\xffb\xff", "high-byte escape run")
+
 out = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests",
