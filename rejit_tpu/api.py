@@ -62,7 +62,8 @@ class DeviceCorpus:
         self.host = text_to_u8(text)
         self.n = len(self.host)
         self._padded = {}     # (grain, P) -> device uint8
-        self._staged = {}     # (pattern source, K, CHL) -> staged tuple
+        self._tiles = {}      # (K, CHL) -> corpus-size tile array
+        self._meta = {}       # (static tables, K, CHL) -> (sk0, start_eot)
 
     def _padded_dev(self, grain: int):
         P = _bucket_blocks(max(1, -(-self.n // grain))) * grain
@@ -76,18 +77,26 @@ class DeviceCorpus:
         return self._padded[key], P
 
     def staged_for(self, pattern: "Pattern", K: int, CHL: int):
+        """(tiles, sk0, start_eot) with the corpus-size tile array shared
+        across patterns; only the tiny start-state meta is per-pattern
+        (keyed by the static TABLES — the same source under different
+        Config limits can compile different tables)."""
         from .kernels import schain_pallas
 
-        key = (pattern.source, K, CHL)
-        if key not in self._staged:
-            import jax
-
-            td, _P = self._padded_dev(K * 8 * CHL)
-            st = pattern._schain_static
-            self._staged[key] = jax.jit(
-                lambda t: schain_pallas.stage_text(st, t, block=K, chl=CHL)
-            )(td)
-        return self._staged[key]
+        td, _P = self._padded_dev(K * 8 * CHL)
+        tk = (K, CHL)
+        if tk not in self._tiles:
+            self._tiles[tk] = schain_pallas.tile_text_device(
+                td, block=K, chl=CHL
+            )
+        st = pattern._schain_static
+        mk = (st, K, CHL)
+        if mk not in self._meta:
+            self._meta[mk] = schain_pallas.stage_meta_device(
+                st, td, block=K, chl=CHL
+            )
+        sk0_t, start_eot = self._meta[mk]
+        return (self._tiles[tk], sk0_t, start_eot)
 
 
 def stage(text: TextLike) -> DeviceCorpus:
@@ -258,34 +267,16 @@ class Pattern:
             )
         block = self.config.block_size
         if self._use_schain_fused():
-            from .engine import schain as schain_engine
             from .kernels import schain_pallas
 
-            if self._schain_static is None:
-                self._schain_static = schain_engine.static_tables(self.tables)
-            fblock, fchl = self._fused_params()
-            grain = fblock * 8 * fchl
-            P = _bucket_blocks(max(1, -(-n // grain))) * grain
-            if P <= schain_pallas.max_p(self.tables.n_states):
-                if corpus is not None:
-                    staged = corpus.staged_for(self, fblock, fchl)
-                    return schain_pallas.l_arrays_device_staged(
-                        self._schain_static,
-                        self.tables.n_patterns,
-                        staged,
-                        jnp.int32(n),
-                        block=fblock,
-                        chl=fchl,
-                        interpret=self.config.interpret,
-                        use_ff=self.config.use_ff,
-                    )
-                pad = np.zeros(P, dtype=np.uint8)
-                pad[:n] = text
-                return schain_pallas.l_arrays_device_schain_fused(
+            fs = self._fused_staged(text, corpus)
+            if fs is not None:
+                staged, n_, fblock, fchl = fs
+                return schain_pallas.l_arrays_device_staged(
                     self._schain_static,
                     self.tables.n_patterns,
-                    jnp.asarray(pad),
-                    jnp.int32(n),
+                    staged,
+                    jnp.int32(n_),
                     block=fblock,
                     chl=fchl,
                     interpret=self.config.interpret,
@@ -346,6 +337,32 @@ class Pattern:
         return pipeline.l_arrays_device(
             self.ct, jnp.asarray(pad), jnp.int32(n), block=block
         )
+
+    def _fused_staged(self, t: np.ndarray, corpus):
+        """(staged, n, fblock, fchl) for the fused kernel, or None when
+        the padded text exceeds the packed-position limit. Shared by the
+        L/I and count paths (one gating/staging implementation)."""
+        from .engine import schain as schain_engine
+        from .kernels import schain_pallas
+
+        if self._schain_static is None:
+            self._schain_static = schain_engine.static_tables(self.tables)
+        fblock, fchl = self._fused_params()
+        grain = fblock * 8 * fchl
+        n = len(t)
+        P = _bucket_blocks(max(1, -(-n // grain))) * grain
+        if P > schain_pallas.max_p(self.tables.n_states):
+            return None
+        if corpus is not None:
+            staged = corpus.staged_for(self, fblock, fchl)
+        else:
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = t
+            staged = schain_pallas.stage_text_device(
+                self._schain_static, jnp.asarray(pad),
+                block=fblock, chl=fchl,
+            )
+        return staged, n, fblock, fchl
 
     def _fused_params(self):
         """(K, CHL) for the fused kernel: config override or the measured
@@ -594,36 +611,16 @@ class Pattern:
             # Overlap-free: every candidate is a match, so MatchAllCount
             # is a pure device reduction — no L/I arrays materialize
             # (kernels/schain_pallas.count_device_staged).
-            from .engine import schain as schain_engine
             from .kernels import schain_pallas
 
-            if self._schain_static is None:
-                self._schain_static = schain_engine.static_tables(
-                    self.tables
-                )
-            fblock, fchl = self._fused_params()
-            grain = fblock * 8 * fchl
-            n = len(t)
-            P = _bucket_blocks(max(1, -(-n // grain))) * grain
-            if P <= schain_pallas.max_p(self.tables.n_states):
-                if corpus is not None:
-                    staged = corpus.staged_for(self, fblock, fchl)
-                else:
-                    pad = np.zeros(P, dtype=np.uint8)
-                    pad[:n] = t
-                    import jax
-
-                    staged = jax.jit(
-                        lambda td: schain_pallas.stage_text(
-                            self._schain_static, td,
-                            block=fblock, chl=fchl,
-                        )
-                    )(jnp.asarray(pad))
+            fs = self._fused_staged(t, corpus)
+            if fs is not None:
+                staged, n_, fblock, fchl = fs
                 cnt = schain_pallas.count_device_staged(
                     self._schain_static,
                     self.tables.n_patterns,
                     staged,
-                    jnp.int32(n),
+                    jnp.int32(n_),
                     block=fblock,
                     chl=fchl,
                     interpret=self.config.interpret,
@@ -677,7 +674,10 @@ class Pattern:
             grain = fblock * 8 * fchl
             if (
                 chunk_bytes % grain == 0
-                and chunk_bytes <= schain_pallas.max_p(tables.n_states)
+                # the final chunk is padded to chunk_bytes + grain
+                # (engine/stream.py sizes it strictly > n_local)
+                and chunk_bytes + grain
+                <= schain_pallas.max_p(tables.n_states)
             ):
                 # Production chunk engine: fused kernel per chunk
                 # (engine/stream.py chunk_l_arrays_device_fused).
@@ -710,6 +710,30 @@ class Pattern:
     def match_all_count_stream(self, source, **kw) -> int:
         return len(self.match_all_stream(source, **kw)[0])
 
+    def _stream_first_kw(self, chunk_bytes: int) -> dict:
+        """Window-scan kwargs: the fused kernel evaluates each doubling
+        window in one pass when it fits (engine/stream.py
+        _window_l_fused); gather engines otherwise."""
+        tables = self._dfa_tables()
+        if self._use_schain_fused():
+            from .kernels import schain_pallas
+
+            fblock, fchl = self._fused_params()
+            grain = fblock * 8 * fchl
+            if (
+                chunk_bytes % grain == 0
+                and chunk_bytes + grain
+                <= schain_pallas.max_p(tables.n_states)
+            ):
+                return dict(
+                    chunk_bytes=chunk_bytes,
+                    block=fblock,
+                    chl=fchl,
+                    engine="fused",
+                    interpret=self.config.interpret,
+                )
+        return self._stream_kw(chunk_bytes)
+
     def _stream_kw(self, chunk_bytes: int) -> dict:
         from .kernels.dfa_pallas import CHUNK
 
@@ -735,7 +759,7 @@ class Pattern:
         m = stream.stream_match_first(
             self._dfa_tables(),
             self._stream_source(source),
-            **self._stream_kw(chunk_bytes),
+            **self._stream_first_kw(chunk_bytes),
         )
         return None if m is None else (m[0], m[1])
 
@@ -747,7 +771,7 @@ class Pattern:
         return stream.stream_match_anywhere(
             self._dfa_tables(),
             self._stream_source(source),
-            **self._stream_kw(chunk_bytes),
+            **self._stream_first_kw(chunk_bytes),
         )
 
     def match_full_stream(

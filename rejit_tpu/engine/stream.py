@@ -292,7 +292,9 @@ def stream_candidates(
     assert chunk_bytes % grain == 0 and chunk_bytes > 0, (
         f"chunk_bytes must be a multiple of {grain}"
     )
-    ct = pipeline.device_tables(tables)
+    ct = None
+    if engine != "fused":
+        ct = pipeline.device_tables(tables)
     Q = tables.n_states
     n = len(source)
     C = chunk_bytes
@@ -331,16 +333,17 @@ def stream_candidates(
         buf = np.zeros(P, dtype=np.uint8)
         buf[:n_local] = np.asarray(source[a:b], dtype=np.uint8)
 
-        # Rebase tail into chunk coordinates (clamped — see module doc).
-        tm = tail_global[1]
-        m_local = np.where(
-            tm >= 0, np.minimum(tm - a, _CLAMP), np.int64(-1)
-        ).astype(np.int32)
-        tail_dev = (
-            jnp.asarray(tail_global[0].astype(np.int32)),
-            jnp.asarray(m_local),
-            jnp.asarray(tail_global[2].astype(np.int32)),
-        )
+        if engine != "fused":
+            # Rebase tail into chunk coordinates (clamped — module doc).
+            tm = tail_global[1]
+            m_local = np.where(
+                tm >= 0, np.minimum(tm - a, _CLAMP), np.int64(-1)
+            ).astype(np.int32)
+            tail_dev = (
+                jnp.asarray(tail_global[0].astype(np.int32)),
+                jnp.asarray(m_local),
+                jnp.asarray(tail_global[2].astype(np.int32)),
+            )
         if a == 0:
             first_start = int(tables.start_states[0])  # CTX_BEGIN
         else:
@@ -506,6 +509,45 @@ def _first_start_at(tables: DFATables, source, base: int) -> int:
     return int(tables.start_states[ctx_of_byte(int(source[base - 1]))])
 
 
+def _window_l_fused(st, tables, source, base, end, n, block, chl,
+                    interpret):
+    """One fused-kernel pass over window [base, end) with a NEUTRAL seed,
+    returning (F, L_loc, I_loc, n_local): packed boundary end-states plus
+    local L — from which the caller derives BOTH the pessimistic and the
+    optimistic window evaluations (the gather path needs two scans)."""
+    from ..kernels import schain_pallas as sp
+
+    n_local = end - base
+    grain = block * 8 * chl
+    if end >= n:
+        P = (n_local // grain + 1) * grain  # strictly > n_local
+    else:
+        P = -(-n_local // grain) * grain
+    buf = np.zeros(P, dtype=np.uint8)
+    buf[:n_local] = np.asarray(source[base:end], dtype=np.uint8)
+    staged = sp.stage_text_device(
+        st, jnp.asarray(buf), block=block, chl=chl
+    )
+    fs = jnp.int32(_first_start_at(tables, source, base))
+    staged = (staged[0], staged[1].at[0, 0].set(fs), staged[2])
+    Q = len(st[2][0])
+    Lpk_t, I_t, _G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
+        st, tables.n_patterns, staged, jnp.int32(n_local),
+        block=block, chl=chl, interpret=interpret,
+        seed=sp.neutral_seed(Q), emit_f=True,
+    )
+    Lpk = np.asarray(sp.untile(Lpk_t, nbc, K, CHL))
+    ms = sp.m_shift(Q)
+    F = Lpk >> ms
+    L_loc = (Lpk & ((1 << ms) - 1)) - 1
+    if I_t is not None:
+        I_loc = np.asarray(sp.untile(I_t, nbc, K, CHL))
+    else:
+        I_loc = np.where(L_loc >= 0, 0, -1)
+    m = min(len(L_loc), n_local + 1)
+    return F[:m], L_loc[:m], I_loc[:m], n_local
+
+
 def _window_l(ct, tables, source, base, end, n, tail_np, block,
               use_pallas, interpret, grain):
     """(L, I) local arrays for window [base, end) with the given tail."""
@@ -535,17 +577,40 @@ def stream_match_first(
     use_pallas: bool = False,
     interpret: bool = False,
     anywhere: bool = False,
+    engine: str = "pipeline",
+    chl: int = 128,
 ):
     """Exact leftmost-longest first match (start, end, pid) or None.
 
     With anywhere=True, returns True/False as soon as ANY accept is proven
     (without waiting for the longest end) — the MatchAnywhere semantics.
+    engine='fused' evaluates each window with ONE fused-kernel pass (the
+    packed boundary end-states give the pessimistic and optimistic
+    answers together).
     """
-    ct = pipeline.device_tables(tables)
+    fused = engine == "fused"
+    st_ = None
+    ct = None
+    if fused:
+        from ..engine import schain as schain_mod2
+
+        st_ = schain_mod2.static_tables(tables)
+    else:
+        ct = pipeline.device_tables(tables)
     Q = tables.n_states
     n = len(source)
     grain = block
-    if use_pallas:
+    if fused:
+        from ..kernels import schain_pallas as sp2
+
+        grain = block * 8 * chl
+        # Window P is padded one grain past W at EOT; keep every window
+        # within the packed-position limit (beyond it, the code falls
+        # back to the exact chunked full scan).
+        max_window = min(
+            max_window, (sp2.max_p(Q) - grain) // grain * grain
+        )
+    elif use_pallas:
         from ..kernels.dfa_pallas import CHUNK
 
         grain = block * CHUNK
@@ -565,7 +630,21 @@ def stream_match_first(
     while True:
         end = min(base + W, n)
         at_eot = end >= n
-        if at_eot:
+        if fused:
+            F, L_loc, I_loc, n_local = _window_l_fused(
+                st_, tables, source, base, end, n, block, chl, interpret
+            )
+            if at_eot:
+                ae = np.asarray(tables.accept_eot, np.int64)
+                em = ae[F] >= 0
+                L = np.where(em, np.int64(n_local), L_loc)
+                I = np.where(em, ae[F], I_loc)
+                L_o = L  # exact: optimistic == pessimistic at EOT
+            else:
+                L = L_loc.astype(np.int64)
+                I = I_loc
+                L_o = np.where(can[F], np.int64(_CLAMP), L)
+        elif at_eot:
             eot = (
                 ident,
                 np.where(np.asarray(tables.accept_eot) >= 0,
@@ -606,6 +685,7 @@ def stream_match_first(
             st, en, pid = stream_match_all(
                 tables, source, chunk_bytes=chunk_bytes, block=block,
                 use_pallas=use_pallas, interpret=interpret,
+                **({"engine": "fused", "chl": chl} if fused else {}),
             )
             if anywhere:
                 return len(st) > 0

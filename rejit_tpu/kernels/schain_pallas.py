@@ -653,28 +653,32 @@ def start_states_for(st, prev_bytes):
     return schain_mod._by_runs(prev_bytes.astype(jnp.int32), start_runs)
 
 
-def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
-    """Stage a uint8 text into the kernel's device-resident corpus format.
-
-    Returns (tiles, sk0_t, start_eot): the (8, CHL)-tiled byte layout,
-    per-block k=0 start states, and the EOT-boundary start state. Staging
-    is text-only work — a device-resident corpus is staged once and
-    scanned many times (BASELINE.md protocol)."""
-    cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
-    K = block
-    CHL = chl
+def tile_text(text: jnp.ndarray, *, block: int, chl: int):
+    """Pattern-independent (8, CHL) tiling of a padded text (cache this
+    once per corpus x geometry; it is a full-size copy of the text)."""
+    K, CHL = block, chl
     CH = 8 * CHL
     P = text.shape[0]
     assert P % (K * CH) == 0 and P > 0
     nb = P // K
     nbc = nb // CH
     # Tile layout: row k*8+s, lane l holds byte k of block ch*CH + s*CHL + l.
-    tiles = (
+    return (
         text.reshape(nbc, 8, CHL, K)
         .transpose(0, 3, 1, 2)
         .reshape(nbc * K * 8, CHL)
     )
-    # k = 0 start states (prev byte = last byte of the previous block).
+
+
+def stage_meta(st, text: jnp.ndarray, *, block: int, chl: int):
+    """Pattern-DEPENDENT staging: per-block k=0 start states + the EOT
+    start state (tiny vs the tiles)."""
+    cls_runs, ctx_runs, nxt_cols, acc_cols, start_by_ctx, accept_eot = st
+    K, CHL = block, chl
+    CH = 8 * CHL
+    P = text.shape[0]
+    nb = P // K
+    nbc = nb // CH
     start_runs = tuple(
         (lo, hi, start_by_ctx[v]) for lo, hi, v in ctx_runs
     )
@@ -686,7 +690,32 @@ def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
     start_eot = schain_mod._by_runs(
         text[-1:].astype(jnp.int32), start_runs
     )[0]
+    return sk0_t, start_eot
+
+
+def stage_text(st, text: jnp.ndarray, *, block: int, chl: int):
+    """Stage a uint8 text into the kernel's device-resident corpus format.
+
+    Returns (tiles, sk0_t, start_eot): the (8, CHL)-tiled byte layout,
+    per-block k=0 start states, and the EOT-boundary start state. Staging
+    is text-only work — a device-resident corpus is staged once and
+    scanned many times (BASELINE.md protocol). For multi-pattern serving
+    cache tile_text per corpus and stage_meta per pattern (DeviceCorpus
+    does this)."""
+    tiles = tile_text(text, block=block, chl=chl)
+    sk0_t, start_eot = stage_meta(st, text, block=block, chl=chl)
     return tiles, sk0_t, start_eot
+
+
+tile_text_device = jax.jit(
+    tile_text, static_argnames=("block", "chl")
+)
+stage_meta_device = jax.jit(
+    stage_meta, static_argnames=("st", "block", "chl")
+)
+stage_text_device = jax.jit(
+    stage_text, static_argnames=("st", "block", "chl")
+)
 
 
 def solo_seed(plan, n):

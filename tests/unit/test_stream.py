@@ -301,3 +301,34 @@ def test_stream_fused_engine_equals_pipeline():
             )
             for a, b in zip(r1, r2):
                 np.testing.assert_array_equal(a, b, err_msg=f"{pats} n={n}")
+
+
+def test_stream_match_first_fused_windows():
+    """Fused one-pass window evaluation == the two-pass gather windows."""
+    import numpy as np
+
+    from rejit_tpu.compile import parser as rparser
+    from rejit_tpu.compile.dfa import compile_patterns
+    from rejit_tpu.engine import stream
+
+    t = compile_patterns([rparser.parse(rb"\b\w+ing\b")])
+    cases = [
+        b"." * 2500 + b"singing" + b"." * 100,   # late match
+        b"singing" + b"." * 1000,                # early match
+        b"." * 1200,                             # no match
+        b"",
+    ]
+    for raw in cases:
+        arr = np.frombuffer(raw, np.uint8)
+        r1 = stream.stream_match_first(t, arr, chunk_bytes=256, block=8)
+        r2 = stream.stream_match_first(
+            t, arr, chunk_bytes=256, block=8, chl=2, engine="fused",
+            interpret=True,
+        )
+        assert r1 == r2, (len(raw), r1, r2)
+        a1 = stream.stream_match_anywhere(t, arr, chunk_bytes=256, block=8)
+        a2 = stream.stream_match_anywhere(
+            t, arr, chunk_bytes=256, block=8, chl=2, engine="fused",
+            interpret=True,
+        )
+        assert a1 == a2

@@ -151,15 +151,17 @@ def child(subset: int, size_mb: float, cpu: bool = False) -> None:
         try:
             try:
                 p = Pattern([pp.decode("latin-1") for pp in pats], cfg)
+                s, e, pid = p.match_all_arrays(txt)
             except CompileError:
-                # Tables exceed the fused kernel's static limits (Q/C):
-                # the XLA select-chain engine is the on-TPU path then.
+                # Tables exceed the fused kernel's static limits (Q/C) —
+                # raised lazily at match time, not construction. The XLA
+                # select-chain engine is the on-TPU path then.
                 p = Pattern(
                     [pp.decode("latin-1") for pp in pats],
                     Config(engine="dfa", schain="on", block_size=8,
                            use_ff=False),
                 )
-            s, e, pid = p.match_all_arrays(txt)
+                s, e, pid = p.match_all_arrays(txt)
             got = [[int(a), int(b), int(g)] for a, b, g in zip(s, e, pid)]
         except Exception as ex:  # noqa: BLE001 — report, keep scanning
             log(f"B case {i} {c['patterns']!r}: EXC {ex!r}")
