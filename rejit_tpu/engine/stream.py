@@ -509,17 +509,77 @@ def _first_start_at(tables: DFATables, source, base: int) -> int:
     return int(tables.start_states[ctx_of_byte(int(source[base - 1]))])
 
 
-def _window_l_fused(st, tables, source, base, end, n, block, chl,
-                    interpret):
-    """One fused-kernel pass over window [base, end) with a NEUTRAL seed,
-    returning (F, L_loc, I_loc, n_local): packed boundary end-states plus
-    local L — from which the caller derives BOTH the pessimistic and the
-    optimistic window evaluations (the gather path needs two scans)."""
+_DEV_CLAMP = 1 << 30   # device-side "could still grow" sentinel (> any L)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("st", "n_patterns", "block", "chl", "interpret",
+                     "at_eot"),
+)
+def _window_verdict_device(
+    st, n_patterns, staged, n_local, can_t, ae_t, *, at_eot,
+    block, chl, interpret,
+):
+    """Whole-window MatchFirst verdict ON DEVICE: (s, L_s, Lo_s, I_s,
+    any_proven). One fused pass with a neutral seed yields packed
+    (end-state, local L) per boundary; the pessimistic and optimistic
+    evaluations and the first-candidate scan reduce to five scalars, so
+    the tunnel carries no window-sized arrays."""
+    from ..kernels import schain_pallas as sp
+
+    Q = len(st[2][0])
+    Lpk_t, I_t, _G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
+        st, n_patterns, staged, n_local, block=block, chl=chl,
+        interpret=interpret, seed=sp.neutral_seed(Q), emit_f=True,
+    )
+    Lpk = sp.untile(Lpk_t, nbc, K, CHL)
+    I = sp.untile(I_t, nbc, K, CHL) if I_t is not None else None
+    ms = sp.m_shift(Q)
+    F = Lpk >> ms
+    L = (Lpk & ((1 << ms) - 1)) - 1
+    if I is None:
+        I = jnp.where(L >= 0, 0, -1)
+    # Q-term selects (gather-free) over the per-state vectors.
+    can_f = jnp.zeros(F.shape, jnp.bool_)
+    ae_f = jnp.full(F.shape, -1, jnp.int32)
+    for q in range(Q):
+        hit = F == q
+        can_f = jnp.where(hit, can_t[q] > 0, can_f)
+        ae_f = jnp.where(hit, ae_t[q], ae_f)
+    if at_eot:
+        em = ae_f >= 0
+        L = jnp.where(em, n_local, L)
+        I = jnp.where(em, ae_f, I)
+        L_o = L
+    else:
+        L_o = jnp.where(can_f, jnp.int32(_DEV_CLAMP), L)
+    idx = jnp.arange(L.shape[0], dtype=jnp.int32)
+    om = (L_o >= 0) & (idx <= n_local)
+    BIG = jnp.int32(1 << 30)
+    s = jnp.min(jnp.where(om, idx, BIG))
+    found = s < BIG
+    sel = idx == s
+    L_s = jnp.max(jnp.where(sel, L, -1))
+    Lo_s = jnp.max(jnp.where(sel, L_o, -1))
+    I_s = jnp.max(jnp.where(sel, I, -1))
+    any_proven = jnp.any(om & (L >= 0))
+    return (
+        jnp.where(found, s, -1), L_s, Lo_s, I_s,
+        any_proven.astype(jnp.int32),
+    )
+
+
+def _window_fused_verdict(st, tables, source, base, end, n, can_np,
+                          block, chl, interpret):
+    """Host wrapper: stage the window, run the device verdict, return
+    python scalars (s, L_s, Lo_s, I_s, any_proven)."""
     from ..kernels import schain_pallas as sp
 
     n_local = end - base
     grain = block * 8 * chl
-    if end >= n:
+    at_eot = end >= n
+    if at_eot:
         P = (n_local // grain + 1) * grain  # strictly > n_local
     else:
         P = -(-n_local // grain) * grain
@@ -530,22 +590,13 @@ def _window_l_fused(st, tables, source, base, end, n, block, chl,
     )
     fs = jnp.int32(_first_start_at(tables, source, base))
     staged = (staged[0], staged[1].at[0, 0].set(fs), staged[2])
-    Q = len(st[2][0])
-    Lpk_t, I_t, _G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
+    out = _window_verdict_device(
         st, tables.n_patterns, staged, jnp.int32(n_local),
-        block=block, chl=chl, interpret=interpret,
-        seed=sp.neutral_seed(Q), emit_f=True,
+        jnp.asarray(can_np.astype(np.int32)),
+        jnp.asarray(tables.accept_eot, jnp.int32),
+        at_eot=at_eot, block=block, chl=chl, interpret=interpret,
     )
-    Lpk = np.asarray(sp.untile(Lpk_t, nbc, K, CHL))
-    ms = sp.m_shift(Q)
-    F = Lpk >> ms
-    L_loc = (Lpk & ((1 << ms) - 1)) - 1
-    if I_t is not None:
-        I_loc = np.asarray(sp.untile(I_t, nbc, K, CHL))
-    else:
-        I_loc = np.where(L_loc >= 0, 0, -1)
-    m = min(len(L_loc), n_local + 1)
-    return F[:m], L_loc[:m], I_loc[:m], n_local
+    return tuple(int(x) for x in out)
 
 
 def _window_l(ct, tables, source, base, end, n, tail_np, block,
@@ -631,19 +682,32 @@ def stream_match_first(
         end = min(base + W, n)
         at_eot = end >= n
         if fused:
-            F, L_loc, I_loc, n_local = _window_l_fused(
-                st_, tables, source, base, end, n, block, chl, interpret
+            s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict(
+                st_, tables, source, base, end, n, can, block, chl,
+                interpret,
             )
-            if at_eot:
-                ae = np.asarray(tables.accept_eot, np.int64)
-                em = ae[F] >= 0
-                L = np.where(em, np.int64(n_local), L_loc)
-                I = np.where(em, ae[F], I_loc)
-                L_o = L  # exact: optimistic == pessimistic at EOT
-            else:
-                L = L_loc.astype(np.int64)
-                I = I_loc
-                L_o = np.where(can[F], np.int64(_CLAMP), L)
+            if s_ < 0:
+                if at_eot:
+                    return False if anywhere else None
+                base = end  # provably no match starts in this window
+                W = W0
+                continue
+            if anywhere and any_p:
+                return True
+            if L_s == Lo_s or at_eot:
+                return (base + s_, base + L_s, I_s)
+            if W >= max_window:
+                st2, en2, pid2 = stream_match_all(
+                    tables, source, chunk_bytes=chunk_bytes, block=block,
+                    engine="fused", chl=chl, interpret=interpret,
+                )
+                if anywhere:
+                    return len(st2) > 0
+                if len(st2) == 0:
+                    return None
+                return (int(st2[0]), int(en2[0]), int(pid2[0]))
+            W *= 2
+            continue
         elif at_eot:
             eot = (
                 ident,

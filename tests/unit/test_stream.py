@@ -312,11 +312,10 @@ def test_stream_match_first_fused_windows():
     from rejit_tpu.engine import stream
 
     t = compile_patterns([rparser.parse(rb"\b\w+ing\b")])
+    # two cases keep the interpret-mode window-shape ladder short
     cases = [
-        b"." * 2500 + b"singing" + b"." * 100,   # late match
-        b"singing" + b"." * 1000,                # early match
-        b"." * 1200,                             # no match
-        b"",
+        b"." * 2500 + b"singing" + b"." * 100,   # late match (3 windows)
+        b"." * 700,                              # no match, one window
     ]
     for raw in cases:
         arr = np.frombuffer(raw, np.uint8)
