@@ -65,8 +65,11 @@ class DeviceCorpus:
         self._tiles = {}      # (K, CHL) -> corpus-size tile array
         self._meta = {}       # (static tables, K, CHL) -> (sk0, start_eot)
 
-    def _padded_dev(self, grain: int):
-        P = _bucket_blocks(max(1, -(-self.n // grain))) * grain
+    def _padded_dev(self, grain: int, beyond_n: bool = False):
+        blocks = max(1, -(-self.n // grain))
+        if beyond_n and blocks * grain <= self.n:
+            blocks += 1  # window-ladder EOT needs padding strictly past n
+        P = _bucket_blocks(blocks) * grain
         key = (grain, P)
         if key not in self._padded:
             import jax
@@ -76,27 +79,28 @@ class DeviceCorpus:
             self._padded[key] = jax.device_put(jnp.asarray(pad))
         return self._padded[key], P
 
-    def staged_for(self, pattern: "Pattern", K: int, CHL: int):
-        """(tiles, sk0, start_eot) with the corpus-size tile array shared
-        across patterns; only the tiny start-state meta is per-pattern
-        (keyed by the static TABLES — the same source under different
-        Config limits can compile different tables)."""
+    def staged_for(self, pattern: "Pattern", K: int, CHL: int,
+                   beyond_n: bool = False):
+        """(tiles, sk0, start_eot, P) with the corpus-size tile array
+        shared across patterns; only the tiny start-state meta is
+        per-pattern (keyed by the static TABLES — the same source under
+        different Config limits can compile different tables)."""
         from .kernels import schain_pallas
 
-        td, _P = self._padded_dev(K * 8 * CHL)
-        tk = (K, CHL)
+        td, P = self._padded_dev(K * 8 * CHL, beyond_n=beyond_n)
+        tk = (K, CHL, P)
         if tk not in self._tiles:
             self._tiles[tk] = schain_pallas.tile_text_device(
                 td, block=K, chl=CHL
             )
         st = pattern._schain_static
-        mk = (st, K, CHL)
+        mk = (st, K, CHL, P)
         if mk not in self._meta:
             self._meta[mk] = schain_pallas.stage_meta_device(
                 st, td, block=K, chl=CHL
             )
         sk0_t, start_eot = self._meta[mk]
-        return (self._tiles[tk], sk0_t, start_eot)
+        return (self._tiles[tk], sk0_t, start_eot, P)
 
 
 def stage(text: TextLike) -> DeviceCorpus:
@@ -354,7 +358,7 @@ class Pattern:
         if P > schain_pallas.max_p(self.tables.n_states):
             return None
         if corpus is not None:
-            staged = corpus.staged_for(self, fblock, fchl)
+            staged = corpus.staged_for(self, fblock, fchl)[:3]
         else:
             pad = np.zeros(P, dtype=np.uint8)
             pad[:n] = t
@@ -463,9 +467,9 @@ class Pattern:
         n = len(text)
         return np.asarray(L)[: n + 1], np.asarray(I)[: n + 1]
 
-    def _candidates(self, text: np.ndarray):
+    def _candidates(self, text: np.ndarray, corpus=None):
         """Device-compacted (pos, end, pid) host arrays (spans.py)."""
-        L, I = self._l_i_device(text)
+        L, I = self._l_i_device(text, corpus=corpus)
         return spans.candidates_host(
             L, I, max_w=self.info.max_len, n_patterns=len(self.irs)
         )
@@ -486,56 +490,57 @@ class Pattern:
         )
 
     def match_full(self, text: TextLike) -> bool:
-        t = text_to_u8(text)
+        t, corpus = _unwrap(text)
         if self._oracle:
             return self._oracle.match_full(t.tobytes())
         with Timer() as t_all:
             with Timer() as t_dev:
-                L, _ = self._l_i_device(t)
+                L, _ = self._l_i_device(t, corpus=corpus)
             got = int(L[0]) == len(t)
         self._record("match_full", len(t), int(got), t_dev.elapsed,
                      t_all.elapsed)
         return got
 
     def match_anywhere(self, text: TextLike) -> bool:
-        t = text_to_u8(text)
+        t, corpus = _unwrap(text)
         if self._oracle:
             return self._oracle.match_anywhere(t.tobytes())
         if self.engine == "dfa" and len(t) > self.config.first_window:
             with Timer() as t_all:
                 got = self.match_anywhere_stream(
-                    t, chunk_bytes=self.config.first_window
+                    t, chunk_bytes=self.config.first_window, corpus=corpus
                 )
             self._record("match_anywhere", len(t), int(got), 0.0,
                          t_all.elapsed)
             return got
         with Timer() as t_all:
             with Timer() as t_dev:
-                L, _ = self._l_i_device(t)
+                L, _ = self._l_i_device(t, corpus=corpus)
             c = int(spans.candidate_count(L))
         self._record("match_anywhere", len(t), int(c > 0), t_dev.elapsed,
                      t_all.elapsed, n_cand=c)
         return c > 0
 
     def match_first(self, text: TextLike) -> Optional[Span]:
-        t = text_to_u8(text)
+        t, corpus = _unwrap(text)
         if self._oracle:
             return self._oracle.match_first(t.tobytes())
         # Early exit: work scales with the distance to the first match
         # (doubling windows, engine/stream.py), not the text length —
         # rejit's MatchFirst stops at the first verified hit
-        # (SURVEY.md §3.3).
+        # (SURVEY.md §3.3). A DeviceCorpus input makes the ladder slice
+        # the staged tiles on device (no window uploads at all).
         if self.engine == "dfa" and len(t) > self.config.first_window:
             with Timer() as t_all:
                 m = self.match_first_stream(
-                    t, chunk_bytes=self.config.first_window
+                    t, chunk_bytes=self.config.first_window, corpus=corpus
                 )
             self._record("match_first", len(t), int(m is not None), 0.0,
                          t_all.elapsed)
             return m
         with Timer() as t_all:
             with Timer() as t_dev:
-                pos, end, _ = self._candidates(t)
+                pos, end, _ = self._candidates(t, corpus=corpus)
         self._record("match_first", len(t), int(len(pos) > 0),
                      t_dev.elapsed, t_all.elapsed, n_cand=len(pos))
         if len(pos) == 0:
@@ -748,8 +753,26 @@ class Pattern:
             interpret=self.config.interpret,
         )
 
+    def _first_kw_with_corpus(self, chunk_bytes: int, corpus) -> dict:
+        """_stream_first_kw plus the corpus's full staging when the fused
+        window ladder can slice it on device (zero ladder uploads)."""
+        kw = self._stream_first_kw(chunk_bytes)
+        if corpus is not None and kw.get("engine") == "fused":
+            from .engine import schain as schain_engine
+            from .kernels import schain_pallas
+
+            if self._schain_static is None:
+                self._schain_static = schain_engine.static_tables(
+                    self.tables
+                )
+            K, chl = kw["block"], kw["chl"]
+            sf = corpus.staged_for(self, K, chl, beyond_n=True)
+            if sf[3] <= schain_pallas.max_p(self.tables.n_states):
+                kw["staged_full"] = sf
+        return kw
+
     def match_first_stream(
-        self, source, *, chunk_bytes: int = 8 << 20
+        self, source, *, chunk_bytes: int = 8 << 20, corpus=None
     ) -> Optional[Tuple[int, int]]:
         """MatchFirst over a huge corpus with early exit: work scales with
         the distance to the first match (doubling windows), not corpus
@@ -759,19 +782,19 @@ class Pattern:
         m = stream.stream_match_first(
             self._dfa_tables(),
             self._stream_source(source),
-            **self._stream_first_kw(chunk_bytes),
+            **self._first_kw_with_corpus(chunk_bytes, corpus),
         )
         return None if m is None else (m[0], m[1])
 
     def match_anywhere_stream(
-        self, source, *, chunk_bytes: int = 8 << 20
+        self, source, *, chunk_bytes: int = 8 << 20, corpus=None
     ) -> bool:
         from .engine import stream
 
         return stream.stream_match_anywhere(
             self._dfa_tables(),
             self._stream_source(source),
-            **self._stream_first_kw(chunk_bytes),
+            **self._first_kw_with_corpus(chunk_bytes, corpus),
         )
 
     def match_full_stream(

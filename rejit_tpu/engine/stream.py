@@ -599,6 +599,38 @@ def _window_fused_verdict(st, tables, source, base, end, n, can_np,
     return tuple(int(x) for x in out)
 
 
+def _window_fused_verdict_staged(st, tables, staged_full, base, end, n,
+                                 can_np, block, chl, interpret):
+    """Window verdict from a FULLY STAGED corpus: the window's tiles and
+    per-block start states are device slices of the one-time staging, so
+    the doubling ladder moves NO window-sized data over the tunnel.
+
+    `staged_full` = (tiles, sk0_t, start_eot, P_full) for the whole padded
+    text with P_full strictly > n (the EOT window needs padding beyond n).
+    No sk0 override is needed: block c0's start state was computed from
+    the true previous byte source[base-1] during global staging (and block
+    0 carries CTX_BEGIN), exactly what _first_start_at would inject."""
+    tiles, sk0_t, start_eot, P_full = staged_full
+    grain = block * 8 * chl
+    at_eot = end >= n
+    c0 = base // grain
+    c1 = P_full // grain if at_eot else end // grain
+    K8 = block * 8
+    staged = (
+        tiles[c0 * K8:c1 * K8],
+        sk0_t[c0 * 8:c1 * 8],
+        start_eot,
+    )
+    n_local = (n if at_eot else end) - base
+    out = _window_verdict_device(
+        st, tables.n_patterns, staged, jnp.int32(n_local),
+        jnp.asarray(can_np.astype(np.int32)),
+        jnp.asarray(tables.accept_eot, jnp.int32),
+        at_eot=at_eot, block=block, chl=chl, interpret=interpret,
+    )
+    return tuple(int(x) for x in out)
+
+
 def _window_l(ct, tables, source, base, end, n, tail_np, block,
               use_pallas, interpret, grain):
     """(L, I) local arrays for window [base, end) with the given tail."""
@@ -630,6 +662,7 @@ def stream_match_first(
     anywhere: bool = False,
     engine: str = "pipeline",
     chl: int = 128,
+    staged_full=None,
 ):
     """Exact leftmost-longest first match (start, end, pid) or None.
 
@@ -638,6 +671,13 @@ def stream_match_first(
     engine='fused' evaluates each window with ONE fused-kernel pass (the
     packed boundary end-states give the pessimistic and optimistic
     answers together).
+
+    staged_full: (tiles, sk0_t, start_eot, P_full) of the WHOLE padded
+    text (P_full > n) — every window is then a device slice and the ladder
+    uploads nothing (the DeviceCorpus serving path). None = stage the full
+    text once up front when the text is in-memory and small enough that
+    one staging beats the ladder's re-uploads; False = never full-stage
+    (per-window upload, the path for huge file-backed sources).
     """
     fused = engine == "fused"
     st_ = None
@@ -661,6 +701,25 @@ def stream_match_first(
         max_window = min(
             max_window, (sp2.max_p(Q) - grain) // grain * grain
         )
+        if staged_full is None:
+            # Auto full-stage: one n-byte staging replaces the ladder's
+            # ~2.5n of window re-uploads. Worth it unless the text is so
+            # large relative to the first window that an early exit would
+            # dominate (16x = bounded worst-case overhead) or it exceeds
+            # the packed-position limit.
+            P_full = (n // grain + 1) * grain
+            if (
+                P_full <= sp2.max_p(Q)
+                and n <= 16 * max(chunk_bytes, grain)
+            ):
+                buf = np.zeros(P_full, dtype=np.uint8)
+                buf[:n] = np.asarray(source[:n], dtype=np.uint8)
+                sf = sp2.stage_text_device(
+                    st_, jnp.asarray(buf), block=block, chl=chl
+                )
+                staged_full = (sf[0], sf[1], sf[2], P_full)
+        if not staged_full:
+            staged_full = None
     elif use_pallas:
         from ..kernels.dfa_pallas import CHUNK
 
@@ -682,10 +741,16 @@ def stream_match_first(
         end = min(base + W, n)
         at_eot = end >= n
         if fused:
-            s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict(
-                st_, tables, source, base, end, n, can, block, chl,
-                interpret,
-            )
+            if staged_full is not None:
+                s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict_staged(
+                    st_, tables, staged_full, base, end, n, can, block,
+                    chl, interpret,
+                )
+            else:
+                s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict(
+                    st_, tables, source, base, end, n, can, block, chl,
+                    interpret,
+                )
             if s_ < 0:
                 if at_eot:
                     return False if anywhere else None

@@ -331,3 +331,67 @@ def test_stream_match_first_fused_windows():
             interpret=True,
         )
         assert a1 == a2
+
+
+def test_stream_match_first_fused_staged_equals_upload():
+    """Staged window ladder (device slices of ONE full staging) == the
+    per-window upload ladder == the gather reference, including the
+    doubling case (candidate whose end could still grow) and EOT."""
+    import jax.numpy as jnp
+
+    from rejit_tpu.compile import parser as rparser
+    from rejit_tpu.compile.dfa import compile_patterns
+    from rejit_tpu.engine import schain as schain_mod
+    from rejit_tpu.kernels import schain_pallas as sp
+
+    t = compile_patterns([rparser.parse(rb"\b\w+ing\b")])
+    st = schain_mod.static_tables(t)
+    cases = [
+        b"." * 250 + b"singing" + b"." * 300,  # window splits the match
+        b"." * 2500 + b"singing" + b"." * 100,  # late match
+        b"." * 700,                             # no match
+        b"singing " + b"." * 600,               # match at 0
+        b"." * 500 + b"singing",                # match ends exactly at EOT
+        b"." * 500 + b"sing",                   # EOT kills the candidate
+    ]
+    for raw in cases:
+        arr = np.frombuffer(raw, np.uint8)
+        ref = stream.stream_match_first(t, arr, chunk_bytes=256, block=8)
+        kw = dict(chunk_bytes=256, block=8, chl=2, engine="fused",
+                  interpret=True)
+        up = stream.stream_match_first(t, arr, staged_full=False, **kw)
+        auto = stream.stream_match_first(t, arr, **kw)  # auto-stages
+        grain = 8 * 8 * 2
+        n = len(arr)
+        P = (n // grain + 1) * grain
+        buf = np.zeros(P, np.uint8)
+        buf[:n] = arr
+        sf = sp.stage_text(st, jnp.asarray(buf), block=8, chl=2)
+        exp = stream.stream_match_first(
+            t, arr, staged_full=(sf[0], sf[1], sf[2], P), **kw
+        )
+        assert ref == up == auto == exp, (raw[:16], ref, up, auto, exp)
+        a_ref = stream.stream_match_anywhere(
+            t, arr, chunk_bytes=256, block=8
+        )
+        a_st = stream.stream_match_anywhere(t, arr, **kw)
+        assert a_ref == a_st, raw[:16]
+
+
+def test_device_corpus_match_first_staged_ladder():
+    """A DeviceCorpus input routes MatchFirst/MatchAnywhere through the
+    staged window ladder (no uploads) with identical results."""
+    from rejit_tpu import Config, Pattern, stage
+
+    txt = b"." * 5000 + b"singing" + b"." * 3000
+    cfg = Config(engine="dfa", schain_fused="on", interpret=True,
+                 block_size=8, fused_chl=2, first_window=512)
+    p = Pattern(r"\b\w+ing\b", cfg)
+    corpus = stage(txt)
+    assert p.match_first(txt) == (5000, 5007)
+    assert p.match_first(corpus) == (5000, 5007)
+    assert p.match_anywhere(corpus) is True
+    assert p.match_full(corpus) is False
+    p2 = Pattern(r"qu[0-9]+z", cfg)
+    assert p2.match_first(corpus) is None
+    assert p2.match_anywhere(corpus) is False
