@@ -244,6 +244,21 @@ def measure_child() -> dict:
     return {}
 
 
+def _record_history(json_line: str) -> None:
+    """Append the headline to bench/history.jsonl (§5.5 bench scalars)."""
+    try:
+        from bench import history
+
+        d = json.loads(json_line)
+        history.record(
+            {"headline_spans_out": d,
+             "headline_count": {"value": d.get("count_value", 0.0)}},
+            source="bench.py", backend="tpu",
+        )
+    except Exception as e:
+        log(f"bench history: not recorded ({e})")
+
+
 def main():
     if "--child" in sys.argv:
         measure_child()
@@ -273,6 +288,7 @@ def main():
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode == 0 and lines:
             print(lines[-1])
+            _record_history(lines[-1])
             return
         if out.returncode == 3 and lines:
             cand = json.loads(lines[-1])
@@ -285,6 +301,7 @@ def main():
     if fallback is not None:
         log("no fast window; reporting best degraded-window measurement")
         print(json.dumps(fallback))
+        _record_history(json.dumps(fallback))
         return
     print(
         json.dumps(

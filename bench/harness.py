@@ -552,6 +552,11 @@ def main():
         help="fast: production engines only; all: also the gather "
         "formulations (dfa/pallas/mxu), 100x+ slower per measurement",
     )
+    ap.add_argument(
+        "--no-history", action="store_true",
+        help="skip appending results to bench/history.jsonl (§5.5 "
+        "bench-history scalars; used for child processes and tests)",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -568,7 +573,8 @@ def main():
                 with tempfile.NamedTemporaryFile(suffix=".json") as tf:
                     cmd = [sys.executable, os.path.abspath(__file__),
                            "--configs", str(c), "--size", str(args.size),
-                           "--engines", args.engines, "--json", tf.name]
+                           "--engines", args.engines, "--json", tf.name,
+                           "--no-history"]
                     if args.cpu:
                         cmd.append("--cpu")
                     try:
@@ -594,6 +600,10 @@ def main():
             with open(args.json, "w") as f:
                 json.dump(merged, f, indent=1)
         print(json.dumps(merged))
+        if not args.no_history:
+            from bench import history
+
+            history.record(merged, source=f"harness:{args.configs}")
         return
     if args.compare_re:
         compare_python_re(args.size)
@@ -602,6 +612,10 @@ def main():
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
     print(json.dumps(results))
+    if not args.no_history:
+        from bench import history
+
+        history.record(results, source=f"harness:{args.configs}")
 
 
 if __name__ == "__main__":

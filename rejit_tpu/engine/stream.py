@@ -701,23 +701,19 @@ def stream_match_first(
         max_window = min(
             max_window, (sp2.max_p(Q) - grain) // grain * grain
         )
-        if staged_full is None:
-            # Auto full-stage: one n-byte staging replaces the ladder's
-            # ~2.5n of window re-uploads. Worth it unless the text is so
-            # large relative to the first window that an early exit would
-            # dominate (16x = bounded worst-case overhead) or it exceeds
-            # the packed-position limit.
-            P_full = (n // grain + 1) * grain
-            if (
-                P_full <= sp2.max_p(Q)
-                and n <= 16 * max(chunk_bytes, grain)
-            ):
-                buf = np.zeros(P_full, dtype=np.uint8)
-                buf[:n] = np.asarray(source[:n], dtype=np.uint8)
-                sf = sp2.stage_text_device(
-                    st_, jnp.asarray(buf), block=block, chl=chl
-                )
-                staged_full = (sf[0], sf[1], sf[2], P_full)
+        # Auto full-stage (lazily): one n-byte staging replaces the
+        # ladder's ~2.5n of window re-uploads, but only pays off when the
+        # ladder actually needs more than one window — so the first
+        # window uploads as before (an early match stays O(W0)) and the
+        # SECOND window triggers the one-time staging. Skipped when the
+        # text is huge relative to the first window (16x bounds the
+        # worst-case staging overhead) or exceeds the packed limit.
+        P_full = (n // grain + 1) * grain
+        auto_stage = (
+            staged_full is None
+            and P_full <= sp2.max_p(Q)
+            and n <= 16 * max(chunk_bytes, grain)
+        )
         if not staged_full:
             staged_full = None
     elif use_pallas:
@@ -737,10 +733,19 @@ def stream_match_first(
     base = 0
     W = -(-max(chunk_bytes, grain) // grain) * grain
     W0 = W
+    windows = 0
     while True:
         end = min(base + W, n)
         at_eot = end >= n
         if fused:
+            if staged_full is None and auto_stage and windows >= 1:
+                buf = np.zeros(P_full, dtype=np.uint8)
+                buf[:n] = np.asarray(source[:n], dtype=np.uint8)
+                sf = sp2.stage_text_device(
+                    st_, jnp.asarray(buf), block=block, chl=chl
+                )
+                staged_full = (sf[0], sf[1], sf[2], P_full)
+            windows += 1
             if staged_full is not None:
                 s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict_staged(
                     st_, tables, staged_full, base, end, n, can, block,

@@ -26,3 +26,25 @@ def test_lines_corpus_has_lines():
 def test_harness_importable():
     import bench.harness  # noqa: F401
     import bench.scaling  # noqa: F401
+
+
+def test_history_record_and_trends(tmp_path):
+    from bench import history
+
+    p = str(tmp_path / "h.jsonl")
+    history.record({"config1": {"GBps": 10.0}}, source="t", path=p,
+                   backend="cpu")
+    history.record({"config1": {"GBps": 12.0},
+                    "headline": {"value": 5e9}}, source="t", path=p,
+                   backend="cpu")
+    runs = history.load(p)
+    assert len(runs) == 2 and runs[0]["backend"] == "cpu"
+    tr = history.trends(p)
+    assert [x[2] for x in tr["config1"]] == [10.0, 12.0]
+    assert tr["headline"][0][2] == 5e9
+    import io
+
+    buf = io.StringIO()
+    history.summarize(p, file=buf)
+    out = buf.getvalue()
+    assert "config1" in out and "+20.0%" in out
