@@ -56,7 +56,13 @@ from ..engine import schain as schain_mod
 
 DEFAULT_CHL = 128   # lane-columns per grid step; CH = 8*CHL blocks/step
 
-MAX_Q = 64          # packed-algebra state limit (f bits trade against P)
+MAX_Q = 64          # packed-algebra state limit (f bits trade against P).
+# Q > 64 is a MOSAIC COMPILE wall, not an algebra limit: the in-kernel
+# doubling scan traces Q^2 selects per level (the packed bits allow 128 =
+# 16 MB/call), and a Q=82 kernel did not finish compiling in 14 min on
+# v5e (2026-08-17, K=32..128). Large-Q at speed needs the map-composition
+# combine reformulated as a lane gather (Q <= 128-lane table per sublane
+# row, O(Q) trace per combine instead of O(Q^2)) — see bench/NOTES.md.
 
 _NEG = -(1 << 31) + 1
 
@@ -471,29 +477,37 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                     g[q] = jnp.where(mcc, pk[nxt[cc][q]], g[q])
                     if track_pid:
                         gi[q] = jnp.where(mcc, pi[nxt[cc][q]], gi[q])
-        hv = None
+        # Accept bits blended per class into 31-bit int32 word planes
+        # (bit q lives in word q//31 — a single plane overflows int32 as
+        # soon as an accepting state index reaches 32).
+        NW = (Q + 30) // 31
+        hv = [None] * NW
         for cc in range(C):
-            bits = 0
+            words = [0] * NW
             for q in range(Q):
                 if acc[cc][q] >= 0:
-                    bits |= 1 << q
-            if bits:
+                    words[q // 31] |= 1 << (q % 31)
+            if any(words):
                 mcc = (
                     _dom_complement(masks, b) if cc == dom else masks[cc]
                 )
-                hv = (
-                    jnp.where(mcc, bits, hv)
-                    if hv is not None
-                    else jnp.where(mcc, bits, 0)
-                )
+                for w in range(NW):
+                    if not words[w]:
+                        continue
+                    hv[w] = (
+                        jnp.where(mcc, words[w], hv[w])
+                        if hv[w] is not None
+                        else jnp.where(mcc, words[w], 0)
+                    )
         valid = (posK + k) < n
         for q in range(Q):
             mg = g[q] & MMASK
             later = mg > 0
-            if hv is None:
+            hw = hv[q // 31]
+            if hw is None:
                 mnew = jnp.where(later, mg, 0)
             else:
-                hb = (hv >> q) & 1
+                hb = (hw >> (q % 31)) & 1
                 mnew = jnp.where(later, mg, hb * (k + 1))
             new = (g[q] & ~MMASK) | mnew
             pk[q] = jnp.where(valid, new, pk[q])

@@ -244,3 +244,30 @@ def test_count_mode_equals_len_match_all():
             assert p.match_all_count(txt) == len(p.match_all(txt)), (
                 pat, txt[:20]
             )
+
+
+def test_fused_accept_state_above_31():
+    """Accepting state indices >= 32: the accept bitmask must split into
+    31-bit word planes (a single int32 plane overflows — regression for
+    the `bits |= 1 << q` trace-time OverflowError at Q in (32, 64])."""
+    pats = [rb"\b[a-z]{33,35}\b"]
+    t = compile_patterns([parser.parse(p) for p in pats])
+    acc_idx = np.where((np.asarray(t.accept) >= 0).any(axis=1))[0]
+    assert acc_idx.max() >= 32, (t.n_states, acc_idx)
+    st = schain.static_tables(t)
+    K, CHL = 8, 2
+    grain = K * 8 * CHL
+    txt = (b". " + b"x" * 34 + b" " + b"y" * 40 + b" " + b"z" * 33 + b".")
+    n = len(txt)
+    P = -(-(n + 1) // grain) * grain
+    pad = np.zeros(P, np.uint8)
+    pad[:n] = np.frombuffer(txt, np.uint8)
+    td = jnp.asarray(pad)
+    L1, I1 = schain.l_arrays_device_schain(st, td, jnp.int32(n), block=K)
+    L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+        st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+    np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+    assert int(np.asarray(L2)[2]) == 2 + 34      # the 34-letter word
