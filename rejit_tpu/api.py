@@ -285,6 +285,7 @@ class Pattern:
                     chl=fchl,
                     interpret=self.config.interpret,
                     use_ff=self.config.use_ff,
+                    rolled=self._fused_rolled(),
                 )
             # One kernel call can't hold these packed positions (text
             # beyond max_p for this Q): fall through to the XLA
@@ -407,7 +408,7 @@ class Pattern:
         mode = self.config.schain_fused
         if mode == "off" or self.tables is None:
             return False
-        from .kernels.schain_pallas import MAX_Q
+        from .kernels.schain_pallas import AUTO_MAX_Q, MAX_Q
 
         Q, C = self.tables.n_states, self.tables.n_classes
         mb = (self._fused_params()[0] + 1).bit_length()
@@ -428,11 +429,35 @@ class Pattern:
             return False
         if self.config.pallas != "auto":  # explicit engine choice wins
             return False
+        # Auto selection additionally respects the measured Mosaic COMPILE
+        # knee: a Q=18 kernel at the default geometry did not compile in
+        # 900 s on v5e (bench/NOTES.md "large-Q"), so auto only picks the
+        # fused kernel where compile times are known-reasonable; larger Q
+        # routes to the XLA select-chain engine. schain_fused='on'
+        # overrides (documented slow compile up to MAX_Q).
+        if not self.config.interpret and Q > AUTO_MAX_Q:
+            return False
         import jax
 
         return fits and (
             jax.default_backend() not in ("cpu",) or self.config.interpret
         )
+
+    def _fused_rolled(self) -> bool:
+        """Rolled (fori_loop) doubling scan inside the fused kernel.
+
+        'auto': on above the unrolled compile knee (only reachable with
+        schain_fused='on' today); 'on'/'off' force. Interpret mode always
+        runs unrolled — the rolled interpret path hits an XLA CPU fusion
+        miscompile (see tests/kernels/test_rolled_scan_bit_equal)."""
+        mode = self.config.schain_rolled
+        if self.config.interpret or mode == "off" or self.tables is None:
+            return False
+        if mode == "on":
+            return True
+        from .kernels.schain_pallas import AUTO_MAX_Q
+
+        return self.tables.n_states > AUTO_MAX_Q
 
     def _use_schain(self) -> bool:
         """Gather-free select-chain engine (engine/schain.py): the auto
@@ -630,6 +655,7 @@ class Pattern:
                     chl=fchl,
                     interpret=self.config.interpret,
                     use_ff=self.config.use_ff,
+                    rolled=self._fused_rolled(),
                 )
                 return int(cnt)
         return len(self.match_all_arrays(text)[0])

@@ -92,6 +92,15 @@ class Config:
     fused_block: Optional[int] = None
     fused_chl: Optional[int] = None
 
+    # Rolled (fori_loop) form of the fused kernel's in-chunk doubling
+    # scan: 'auto' (on above Q ~ the measured Mosaic compile knee), 'on',
+    # or 'off'. The unrolled scan traces log2(CH)*Q^2 selects and stops
+    # compiling in reasonable time at moderate Q (bench/NOTES.md
+    # "large-Q"); the rolled form trades a small runtime overhead for a
+    # ~5x smaller trace. Bit-equal (tests/kernels: test_rolled_scan_*;
+    # on-chip: tools/verify_tpu.py --rolled).
+    schain_rolled: str = "auto"
+
     # Run Pallas kernels in interpreter mode (debugging).
     interpret: bool = False
 
@@ -121,6 +130,7 @@ class Config:
             matmul=os.environ.get("REJIT_TPU_MATMUL", "off"),
             schain=os.environ.get("REJIT_TPU_SCHAIN", "auto"),
             schain_fused=os.environ.get("REJIT_TPU_SCHAIN_FUSED", "auto"),
+            schain_rolled=os.environ.get("REJIT_TPU_SCHAIN_ROLLED", "auto"),
             fused_block=(
                 int(os.environ["REJIT_TPU_FUSED_BLOCK"])
                 if "REJIT_TPU_FUSED_BLOCK" in os.environ else None

@@ -64,6 +64,13 @@ MAX_Q = 64          # packed-algebra state limit (f bits trade against P).
 # combine reformulated as a lane gather (Q <= 128-lane table per sublane
 # row, O(Q) trace per combine instead of O(Q^2)) — see bench/NOTES.md.
 
+AUTO_MAX_Q = 16     # auto-engine compile-knee gate: a Q=18 kernel at the
+# default K=128/CHL=128 geometry did not finish Mosaic compilation in
+# 900 s (v5e, 2026-08-18) while the production Q<=8 kernels compile in
+# ~1 min. Auto selection stays at/below this; schain_fused='on' may go
+# to MAX_Q (slow compile), optionally with rolled=True (the fori_loop
+# scan, ~5x smaller trace).
+
 _NEG = -(1 << 31) + 1
 
 
@@ -232,6 +239,18 @@ def _shift_cols(x, d, CHL, srow, lcol, fill):
     return jnp.where(srow >= 8 - m, fill, y)
 
 
+def _roll_dyn(x, shift, axis, interpret):
+    """Rotate by a TRACED shift amount.
+
+    Hardware path: pltpu.roll (Mosaic tpu.dynamic_rotate). Interpret path:
+    jnp.roll — pltpu.roll misexecutes under interpret in this composed
+    graph (see _shift_cols), while jnp.roll handles traced shifts exactly;
+    both have identical semantics (y[i] = x[i - shift])."""
+    if interpret:
+        return jnp.roll(x, shift, axis=axis)
+    return pltpu.roll(x, shift, axis=axis)
+
+
 def _combine_packed(A, B, Ai=None, Bi=None, Q=None, ms=27):
     """Suffix-compose packed (f<<ms|m+1) lists: A earlier, B later."""
     MM = (1 << ms) - 1
@@ -256,7 +275,7 @@ def _combine_packed(A, B, Ai=None, Bi=None, Q=None, ms=27):
 
 def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             track_pid, nbc, branchless=False, emit_f=False,
-            count_only=False):
+            count_only=False, rolled=False, interpret=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     dom = plan["dom"]
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
@@ -307,6 +326,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
+            rolled=rolled, interpret=interpret,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -427,6 +447,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
+            rolled=rolled, interpret=interpret,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -442,7 +463,8 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 
 
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
-                  step, posK, srow, lcol, emit_f=False, count_only=False):
+                  step, posK, srow, lcol, emit_f=False, count_only=False,
+                  rolled=False, interpret=False):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
@@ -578,21 +600,77 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
             Sxi.append(
                 _shift_cols(Si[q], 1, CHL, srow, lcol, g_scr[2, q])
             )
-    d = 1
-    while d < CH:
-        Sh = [
-            _shift_cols(Sx[q], d, CHL, srow, lcol, jnp.int32(q << ms))
-            for q in range(Q)
-        ]
-        Shi = (
-            [
-                _shift_cols(Sxi[q], d, CHL, srow, lcol, jnp.int32(-1))
+    if not rolled:
+        d = 1
+        while d < CH:
+            Sh = [
+                _shift_cols(Sx[q], d, CHL, srow, lcol, jnp.int32(q << ms))
                 for q in range(Q)
             ]
-            if track_pid else None
-        )
-        Sx, Sxi = _combine_packed(Sx, Sh, Sxi, Shi, Q=Q, ms=ms)
-        d *= 2
+            Shi = (
+                [
+                    _shift_cols(Sxi[q], d, CHL, srow, lcol, jnp.int32(-1))
+                    for q in range(Q)
+                ]
+                if track_pid else None
+            )
+            Sx, Sxi = _combine_packed(Sx, Sh, Sxi, Shi, Q=Q, ms=ms)
+            d *= 2
+    else:
+        # ---- ROLLED doubling scan (large-Q compile-time form) ----------
+        # The unrolled scan traces log2(CH) levels x Q^2 selects — the
+        # Mosaic compile wall at Q ~ 20+ (bench/NOTES.md "large-Q").
+        # Here each level family is ONE traced body inside a fori_loop
+        # (shift amounts become traced rotates), so the combine's Q^2
+        # selects appear twice in the trace instead of log2(CH) times.
+        # Level family 1: d = 1..CHL/2 — lane rotates (traced) + the
+        # static next-sublane fixup. Level family 2: d = CHL*2^j,
+        # j = 0..2 — sublane rotates (traced).
+        def _lane_body(i, carry):
+            Sx_, Sxi_ = list(carry[0]), list(carry[1])
+            d = jnp.int32(1) << i
+            edge = CHL - d
+            fillm = (srow == 7) & (lcol >= edge)
+            Sh = []
+            Shi = [] if track_pid else None
+            for q in range(Q):
+                a = _roll_dyn(Sx_[q], edge, 1, interpret)
+                y = jnp.where(lcol < edge, a, jnp.roll(a, 7, axis=0))
+                Sh.append(jnp.where(fillm, jnp.int32(q << ms), y))
+                if track_pid:
+                    ai = _roll_dyn(Sxi_[q], edge, 1, interpret)
+                    yi = jnp.where(lcol < edge, ai, jnp.roll(ai, 7, axis=0))
+                    Shi.append(jnp.where(fillm, jnp.int32(-1), yi))
+            o, oi = _combine_packed(
+                Sx_, Sh, Sxi_ if track_pid else None, Shi, Q=Q, ms=ms
+            )
+            return (tuple(o), tuple(oi) if track_pid else ())
+
+        def _sub_body(j, carry):
+            Sx_, Sxi_ = list(carry[0]), list(carry[1])
+            m = jnp.int32(1) << j
+            fillm = srow >= 8 - m
+            Sh = []
+            Shi = [] if track_pid else None
+            for q in range(Q):
+                a = _roll_dyn(Sx_[q], 8 - m, 0, interpret)
+                Sh.append(jnp.where(fillm, jnp.int32(q << ms), a))
+                if track_pid:
+                    ai = _roll_dyn(Sxi_[q], 8 - m, 0, interpret)
+                    Shi.append(jnp.where(fillm, jnp.int32(-1), ai))
+            o, oi = _combine_packed(
+                Sx_, Sh, Sxi_ if track_pid else None, Shi, Q=Q, ms=ms
+            )
+            return (tuple(o), tuple(oi) if track_pid else ())
+
+        carry = (tuple(Sx), tuple(Sxi) if track_pid else ())
+        lane_levels = CHL.bit_length() - 1          # d = 1 .. CHL/2
+        if lane_levels:
+            carry = jax.lax.fori_loop(0, lane_levels, _lane_body, carry)
+        carry = jax.lax.fori_loop(0, 3, _sub_body, carry)
+        Sx = list(carry[0])
+        if track_pid:
+            Sxi = list(carry[1])
 
     # ---- 4. carry update: G_new = combine(block_0, Sx[0]) --------------
     mask00 = (srow == 0) & (lcol == 0)
@@ -765,6 +843,7 @@ def call_fused(
     seed=None,
     emit_f: bool = False,
     count_only: bool = False,
+    rolled: bool = False,
 ):
     """Run the kernel on staged text; returns (L_tiles, I_tiles|None,
     G, plan, shapes). `seed` is the (3, Q) suffix tail at the right edge
@@ -773,7 +852,8 @@ def call_fused(
     carry — the whole text's (f, m, i) state-map summary. `count_only`
     emits no L/I at all — just the candidate count (a pure reduction; the
     MatchAllCount path for overlap-free patterns): L_tiles is then the
-    (1, 1) count and I_tiles is None."""
+    (1, 1) count and I_tiles is None. `rolled` selects the fori_loop form
+    of the doubling scan (large-Q compile-time mitigation; bit-equal)."""
     K = block
     CHL = chl
     assert CHL & (CHL - 1) == 0, "chl must be a power of two"
@@ -830,6 +910,7 @@ def call_fused(
         functools.partial(
             _kernel, K=K, CHL=CHL, plan=plan, track_pid=track_pid, nbc=nbc,
             branchless=interpret, emit_f=emit_f, count_only=count_only,
+            rolled=rolled, interpret=interpret,
         ),
         grid=(nbc,),
         out_shape=tuple(out_shapes),
@@ -864,7 +945,7 @@ def untile(a, nbc, rows, CHL):
 @functools.partial(
     jax.jit,
     static_argnames=("st", "n_patterns", "block", "chl", "interpret",
-                     "use_ff"),
+                     "use_ff", "rolled"),
 )
 def l_arrays_device_staged(
     st,
@@ -876,11 +957,12 @@ def l_arrays_device_staged(
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
     use_ff: bool = True,
+    rolled: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) from a staged corpus (see stage_text)."""
     L_tiles, I_tiles, _G, plan, (nb, nbc, K, CHL) = call_fused(
         st, n_patterns, staged, n, block=block, chl=chl,
-        interpret=interpret, use_ff=use_ff,
+        interpret=interpret, use_ff=use_ff, rolled=rolled,
     )
     P = nb * K
     L = untile(L_tiles, nbc, K, CHL)
@@ -905,7 +987,7 @@ def l_arrays_device_staged(
 @functools.partial(
     jax.jit,
     static_argnames=("st", "n_patterns", "block", "chl", "interpret",
-                     "use_ff"),
+                     "use_ff", "rolled"),
 )
 def l_arrays_device_schain_fused(
     st,
@@ -917,6 +999,7 @@ def l_arrays_device_schain_fused(
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
     use_ff: bool = True,
+    rolled: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for engine/schain.l_arrays_device_schain.
 
@@ -926,14 +1009,14 @@ def l_arrays_device_schain_fused(
     staged = stage_text(st, text, block=block, chl=chl)
     return l_arrays_device_staged(
         st, n_patterns, staged, n, block=block, chl=chl,
-        interpret=interpret, use_ff=use_ff,
+        interpret=interpret, use_ff=use_ff, rolled=rolled,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("st", "n_patterns", "block", "chl", "interpret",
-                     "use_ff"),
+                     "use_ff", "rolled"),
 )
 def count_device_staged(
     st,
@@ -945,6 +1028,7 @@ def count_device_staged(
     chl: int = DEFAULT_CHL,
     interpret: bool = False,
     use_ff: bool = True,
+    rolled: bool = False,
 ) -> jnp.ndarray:
     """Candidate count as a pure device reduction — no L/I arrays ever
     materialize (MatchAllCount for overlap-free patterns: every candidate
@@ -953,6 +1037,7 @@ def count_device_staged(
     cnt, _none, _G, plan, _dims = call_fused(
         st, n_patterns, staged, n, block=block, chl=chl,
         interpret=interpret, use_ff=use_ff, count_only=True,
+        rolled=rolled,
     )
     # EOT boundary: emitted by the kernel when n < P (it is an ordinary
     # in-range boundary there); only n == P needs the epilogue row.

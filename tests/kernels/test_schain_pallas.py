@@ -271,3 +271,40 @@ def test_fused_accept_state_above_31():
     np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
     np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
     assert int(np.asarray(L2)[2]) == 2 + 34      # the 34-letter word
+
+
+@pytest.mark.parametrize(
+    "pats", [PATS[0], PATS[5]], ids=["single", "multi"]
+)
+def test_rolled_scan_bit_equal(pats):
+    """The fori_loop (rolled) doubling scan == the unrolled scan.
+
+    Run under jax.disable_jit(): the rolled interpret path goes through
+    jnp.roll with a TRACED shift, and XLA CPU miscompiles that op mix when
+    fused (observed 2026-08-18: the last block's suffix m-part cleared at
+    the fill boundary even for the STATIC-shift form when standalone
+    -jitted — a fusion artifact absent op-by-op and absent on Mosaic).
+    disable_jit executes op-by-op, validating the rolled ALGEBRA; the
+    hardware lowering (pltpu.roll with traced shifts) is covered by the
+    on-TPU gate (tools/verify_tpu.py --rolled)."""
+    import jax
+
+    t = compile_patterns([parser.parse(p) for p in pats])
+    st = schain.static_tables(t)
+    K, CHL = 8, 8
+    P = K * 8 * CHL * 2
+    rng = np.random.default_rng(7)
+    text = rng.choice(SOUP, size=P).astype(np.uint8)
+    td = jnp.asarray(text)
+    with jax.disable_jit():
+        for n in (P - 3, P // 2 + 1):
+            L0, I0 = schain_pallas.l_arrays_device_schain_fused(
+                st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+                interpret=True,
+            )
+            L1, I1 = schain_pallas.l_arrays_device_schain_fused(
+                st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+                interpret=True, rolled=True,
+            )
+            np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+            np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))

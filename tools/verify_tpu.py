@@ -41,7 +41,8 @@ ENGINE_PATTERNS = [
 ]
 
 
-def child(subset: int, size_mb: float, cpu: bool = False) -> None:
+def child(subset: int, size_mb: float, cpu: bool = False,
+          rolled: bool = False) -> None:
     import numpy as np
 
     from rejit_tpu.runtime.init import enable_compilation_cache
@@ -103,7 +104,7 @@ def child(subset: int, size_mb: float, cpu: bool = False) -> None:
             L3, I3 = jax.device_get(
                 schain_pallas.l_arrays_device_schain_fused(
                     st, t.n_patterns, pad_d, n_d, block=K, chl=CHL,
-                    interpret=cpu,
+                    interpret=cpu, rolled=rolled,
                 )
             )
             ok = (
@@ -194,9 +195,14 @@ def main():
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test the gate on the CPU backend")
+    ap.add_argument("--rolled", action="store_true",
+                    help="stage A uses the rolled (fori_loop) doubling "
+                    "scan — the hardware validation of the large-Q form "
+                    "(tests/kernels/test_rolled_scan_bit_equal covers the "
+                    "algebra; this covers the Mosaic lowering)")
     args = ap.parse_args()
     if args.child:
-        child(args.subset, args.size, cpu=args.cpu)
+        child(args.subset, args.size, cpu=args.cpu, rolled=args.rolled)
         return
     # Watchdog: the tunnel can hang for minutes (CLAUDE.md); compile-cache
     # makes the retry cheap.
@@ -206,7 +212,8 @@ def main():
                 [
                     sys.executable, os.path.abspath(__file__), "--child",
                     "--subset", str(args.subset), "--size", str(args.size),
-                ] + (["--cpu"] if args.cpu else []),
+                ] + (["--cpu"] if args.cpu else [])
+                  + (["--rolled"] if args.rolled else []),
                 timeout=args.timeout,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
