@@ -326,7 +326,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
-            rolled=rolled, interpret=interpret,
+            rolled=rolled, interpret=interpret, text_ref=text_ref,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -447,7 +447,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             n, sk0_ref, t32, body_refs, K=K, CHL=CHL, plan=plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
-            rolled=rolled, interpret=interpret,
+            rolled=rolled, interpret=interpret, text_ref=text_ref,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -464,7 +464,7 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                   step, posK, srow, lcol, emit_f=False, count_only=False,
-                  rolled=False, interpret=False):
+                  rolled=False, interpret=False, text_ref=None):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
@@ -483,7 +483,119 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     if track_pid:
         pi = [jnp.full((8, CHL), -1, jnp.int32) for _ in range(Q)]
 
-    for k in reversed(range(K)):
+    if rolled:
+        # ROLLED byte scan (large-Q compile-time form): ONE traced body in
+        # a fori_loop instead of K unrolled steps. k is traced, so the
+        # byte rows come from text_ref slices, the k==0 / k>=1 boundary
+        # emission variants are both computed and blended, and the
+        # per-boundary stash goes through a dynamic sublane store.
+        def _byte_body(i, carry):
+            pk_ = list(carry[0])
+            pi_ = list(carry[1]) if track_pid else None
+            k = K - 1 - i
+            b = text_ref[pl.ds(k * 8, 8), :].astype(jnp.int32)
+            masks = {
+                cc: _range_mask(b, plan["class_runs"][cc])
+                for cc in range(C)
+                if cc != dom and cc in plan["class_runs"]
+            }
+            g = [pk_[nxt[dom][q]] for q in range(Q)]
+            gi = [pi_[nxt[dom][q]] for q in range(Q)] if track_pid else None
+            for cc, mcc in masks.items():
+                for q in range(Q):
+                    if nxt[cc][q] != nxt[dom][q]:
+                        g[q] = jnp.where(mcc, pk_[nxt[cc][q]], g[q])
+                        if track_pid:
+                            gi[q] = jnp.where(mcc, pi_[nxt[cc][q]], gi[q])
+            NW = (Q + 30) // 31
+            hv = [None] * NW
+            for cc in range(C):
+                words = [0] * NW
+                for q in range(Q):
+                    if acc[cc][q] >= 0:
+                        words[q // 31] |= 1 << (q % 31)
+                if any(words):
+                    mcc = (
+                        _dom_complement(masks, b) if cc == dom
+                        else masks[cc]
+                    )
+                    for w in range(NW):
+                        if not words[w]:
+                            continue
+                        hv[w] = (
+                            jnp.where(mcc, words[w], hv[w])
+                            if hv[w] is not None
+                            else jnp.where(mcc, words[w], 0)
+                        )
+            valid = (posK + k) < n
+            for q in range(Q):
+                mg = g[q] & MMASK
+                later = mg > 0
+                hw = hv[q // 31]
+                if hw is None:
+                    mnew = jnp.where(later, mg, 0)
+                else:
+                    hb = (hw >> (q % 31)) & 1
+                    mnew = jnp.where(later, mg, hb * (k + 1))
+                new = (g[q] & ~MMASK) | mnew
+                pk_[q] = jnp.where(valid, new, pk_[q])
+                if track_pid:
+                    fresh = None
+                    for cc in range(C):
+                        if acc[cc][q] >= 0:
+                            mcc = (
+                                _dom_complement(masks, b)
+                                if cc == dom else masks[cc]
+                            )
+                            fresh = (
+                                jnp.where(mcc, acc[cc][q], fresh)
+                                if fresh is not None
+                                else jnp.where(mcc, acc[cc][q], -1)
+                            )
+                    if fresh is None:
+                        fresh = jnp.full((8, CHL), -1, jnp.int32)
+                    inew = jnp.where(later, gi[q], fresh)
+                    pi_[q] = jnp.where(valid, inew, pi_[q])
+
+            # Boundary-k emission: blend the k>=1 (prev-byte context) and
+            # k==0 (precomputed sk0) variants on the traced k.
+            if len(plan["s_rest"]) == 0 and len(plan["us0"]) == 1:
+                sel = pk_[plan["s_def"]]
+                isel = pi_[plan["s_def"]] if track_pid else None
+            else:
+                kprev = jnp.maximum(k - 1, 0)
+                bprev = text_ref[pl.ds(kprev * 8, 8), :].astype(jnp.int32)
+                selB = pk_[plan["s_def"]]
+                iselB = pi_[plan["s_def"]] if track_pid else None
+                for us in plan["s_rest"]:
+                    mu = _range_mask(bprev, plan["srun_by_state"][us])
+                    selB = jnp.where(mu, pk_[us], selB)
+                    if track_pid:
+                        iselB = jnp.where(mu, pi_[us], iselB)
+                sk0 = sk0_ref[:]
+                selU = pk_[plan["us0"][0]]
+                iselU = pi_[plan["us0"][0]] if track_pid else None
+                for us in plan["us0"][1:]:
+                    mu = sk0 == us
+                    selU = jnp.where(mu, pk_[us], selU)
+                    if track_pid:
+                        iselU = jnp.where(mu, pi_[us], iselU)
+                sel = jnp.where(k == 0, selU, selB)
+                isel = (
+                    jnp.where(k == 0, iselU, iselB) if track_pid else None
+                )
+            sel_scr[pl.ds(k * 8, 8), :] = sel
+            if track_pid:
+                isel_scr[pl.ds(k * 8, 8), :] = isel
+            return (tuple(pk_), tuple(pi_) if track_pid else ())
+
+        carry = (tuple(pk), tuple(pi) if track_pid else ())
+        carry = jax.lax.fori_loop(0, K, _byte_body, carry)
+        pk = list(carry[0])
+        if track_pid:
+            pi = list(carry[1])
+
+    for k in (() if rolled else reversed(range(K))):
         b = t32[k * 8:(k + 1) * 8, :]                   # (8, CHL)
         masks = {
             cc: _range_mask(b, plan["class_runs"][cc])
@@ -703,6 +815,42 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                 )
 
     # ---- 3. tail splice: absolute L (and I) tiles (or the count) -------
+    if rolled:
+        # ROLLED splice: one traced body; reads/writes at dynamic sublane
+        # offsets. The count variant accumulates in the loop carry.
+        def _splice_body(k, csum_):
+            sel = sel_scr[pl.ds(k * 8, 8), :]
+            F = sel >> mb
+            lrel1 = sel & MMASK
+            cmps = [F == q for q in range(Q)]
+            mt = Sx[0]
+            for q in range(1, Q):
+                mt = jnp.where(cmps[q], Sx[q], mt)
+            m_tail = (mt & ((1 << ms) - 1)) - 1
+            later = m_tail >= 0
+            L_abs = jnp.where(lrel1 > 0, posK + lrel1 - 1, -1)
+            L_val = jnp.where(later, m_tail, L_abs)
+            if count_only:
+                ck = ((L_val >= 0) & (posK + k <= n)).astype(jnp.int32)
+                return csum_ + ck
+            if emit_f:
+                L_val = ((mt >> ms) << ms) | (L_val + 1)
+            L_ref[pl.ds(k * 8, 8), :] = L_val
+            if track_pid:
+                it = Sxi[0]
+                for q in range(1, Q):
+                    it = jnp.where(cmps[q], Sxi[q], it)
+                isel = isel_scr[pl.ds(k * 8, 8), :]
+                I_ref[pl.ds(k * 8, 8), :] = jnp.where(later, it, isel)
+            return csum_
+
+        csum = jax.lax.fori_loop(
+            0, K, _splice_body, jnp.zeros((8, CHL), jnp.int32)
+        )
+        if count_only:
+            cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(csum, dtype=jnp.int32)
+        return
+
     csum = None
     for k in range(K):
         sel = sel_scr[k * 8:(k + 1) * 8, :]

@@ -308,3 +308,41 @@ def test_rolled_scan_bit_equal(pats):
             )
             np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
             np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+
+
+def test_rolled_count_and_shard_modes():
+    """Rolled kernel in count_only and emit_f (shard) modes == unrolled.
+
+    Same disable_jit protocol as test_rolled_scan_bit_equal."""
+    import jax
+
+    pats = [rb"\b\w+ing\b"]
+    t = compile_patterns([parser.parse(p) for p in pats])
+    st = schain.static_tables(t)
+    K, CHL = 8, 8
+    P = K * 8 * CHL * 2
+    rng = np.random.default_rng(9)
+    text = rng.choice(SOUP, size=P).astype(np.uint8)
+    n = jnp.int32(P - 5)
+    with jax.disable_jit():
+        staged = schain_pallas.stage_text(st, jnp.asarray(text),
+                                          block=K, chl=CHL)
+        c0 = schain_pallas.count_device_staged(
+            st, 1, staged, n, block=K, chl=CHL, interpret=True)
+        c1 = schain_pallas.count_device_staged(
+            st, 1, staged, n, block=K, chl=CHL, interpret=True, rolled=True)
+        assert int(c0) == int(c1)
+        Q = t.n_states
+        for rolled in (False, True):
+            out = schain_pallas.call_fused(
+                st, 1, staged, n, block=K, chl=CHL, interpret=True,
+                seed=schain_pallas.neutral_seed(Q), emit_f=True,
+                rolled=rolled,
+            )
+            if rolled:
+                np.testing.assert_array_equal(
+                    np.asarray(L_u), np.asarray(out[0]))
+                np.testing.assert_array_equal(
+                    np.asarray(G_u), np.asarray(out[2]))
+            else:
+                L_u, G_u = out[0], out[2]
