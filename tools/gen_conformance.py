@@ -215,6 +215,21 @@ add(r"[a-z]+", b"0123456789" * 40, "digits only: all silent for [a-z]+")
 add(r"\w+", b" . , ; " * 60 + b"word" + b" . , ; " * 60,
     "sparse word in punctuation")
 
+# Bounded-quantifier state blowup: Q above the fused auto-gate (the XLA
+# select-chain engine is the production path there; the fused kernel's
+# rolled form covers it under schain_fused='on' — kernels/schain_pallas).
+add(r"\b[a-z]{8,16}\b",
+    b"zz abcdefghij k abcdefghijklmnop " * 3 + b"tiny word hugewordhere",
+    "Q=18 bounded quantifier")
+add(r"\b[a-z]{24,48}\b",
+    b"x " + b"a" * 30 + b" " + b"b" * 24 + b"." + b"c" * 23 + b" "
+    + b"d" * 48 + b" " + b"e" * 49,
+    "Q=50 bounded quantifier at limits")
+add(r"[A-Za-z]{30,60}ing",
+    b"." * 40 + b"A" * 35 + b"ing." + b"b" * 29 + b"ing " + b"C" * 57
+    + b"ing",
+    "Q=152 beyond fused MAX_Q (XLA engine only)")
+
 # Binary-safe scanning: NUL and high bytes are ordinary input bytes.
 add(r"\w+", b"ab\x00cd\x00\x00ef", "NUL bytes split words")
 add("a", b"\x00a\x00a\x00", "literal among NULs")
