@@ -718,6 +718,7 @@ class Pattern:
                     chunk_bytes=chunk_bytes,
                     block=fblock,
                     chl=fchl,
+                    rolled=self._fused_rolled(),
                     engine="fused",
                     state_dir=state_dir,
                     progress=progress,
@@ -762,6 +763,7 @@ class Pattern:
                     chl=fchl,
                     engine="fused",
                     interpret=self.config.interpret,
+                    rolled=self._fused_rolled(),
                 )
         return self._stream_kw(chunk_bytes)
 

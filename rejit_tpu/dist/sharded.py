@@ -116,7 +116,7 @@ def _local_shard_fn(ct, text_sh, n, *, block, axis, num_shards,
 
 
 def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
-                    num_shards, interpret, use_ff):
+                    num_shards, interpret, use_ff, rolled=False):
     """Fused select-chain kernel per shard (the production engine) with an
     exact cross-shard splice: ONE kernel pass per shard. The kernel runs
     with a neutral (identity) right-edge seed and packs each boundary's
@@ -150,7 +150,7 @@ def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
     Q = len(st[2][0])
     Lpk_t, I_t, G, plan, (nb, nbc, K, CHL) = sp.call_fused(
         st, n_patterns, staged, n_loc, block=block, chl=chl,
-        interpret=interpret, use_ff=use_ff,
+        interpret=interpret, use_ff=use_ff, rolled=rolled,
         seed=sp.neutral_seed(Q), emit_f=True,
     )
     Lpk = sp.untile(Lpk_t, nbc, K, CHL)
@@ -197,7 +197,7 @@ def _local_fused_fn(st, n_patterns, text_sh, n, *, block, chl, axis,
     jax.jit,
     static_argnames=(
         "st", "n_patterns", "block", "chl", "axis", "num_shards", "mesh",
-        "interpret", "use_ff"
+        "interpret", "use_ff", "rolled"
     ),
 )
 def sharded_l_arrays_device_fused(
@@ -213,6 +213,7 @@ def sharded_l_arrays_device_fused(
     num_shards: int = 1,
     interpret: bool = False,
     use_ff: bool = True,
+    rolled: bool = False,
 ):
     """Sharded (L, I) via the fused select-chain kernel per shard.
 
@@ -230,6 +231,7 @@ def sharded_l_arrays_device_fused(
             num_shards=num_shards,
             interpret=interpret,
             use_ff=use_ff,
+            rolled=rolled,
         ),
         mesh=mesh,
         in_specs=(P(axis), P()),

@@ -110,7 +110,7 @@ def chunk_l_arrays_device(
 @functools.partial(
     jax.jit,
     static_argnames=("st", "n_patterns", "block", "chl", "interpret",
-                     "use_ff"),
+                     "use_ff", "rolled"),
 )
 def chunk_l_arrays_device_fused(
     st,
@@ -124,6 +124,7 @@ def chunk_l_arrays_device_fused(
     chl: int = 128,
     interpret: bool = False,
     use_ff: bool = True,
+    rolled: bool = False,
 ):
     """One chunk via the production fused kernel (packed outputs).
 
@@ -144,7 +145,7 @@ def chunk_l_arrays_device_fused(
     staged = (staged[0], staged[1].at[0, 0].set(first_start), staged[2])
     Lpk_t, I_t, G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
         st, n_patterns, staged, n_local, block=block, chl=chl,
-        interpret=interpret, use_ff=use_ff,
+        interpret=interpret, use_ff=use_ff, rolled=rolled,
         seed=sp.neutral_seed(Q), emit_f=True,
     )
     Lpk = sp.untile(Lpk_t, nbc, K, CHL)
@@ -266,6 +267,7 @@ def stream_candidates(
     interpret: bool = False,
     engine: str = "pipeline",
     chl: int = 128,
+    rolled: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global candidate (pos, end, pid) int64 arrays for a huge corpus.
 
@@ -368,6 +370,7 @@ def stream_candidates(
                         block=block,
                         chl=chl,
                         interpret=interpret,
+                        rolled=rolled,
                     )
                     c = int(jnp.sum(cand, dtype=jnp.int32))
                     cap = 16
@@ -515,11 +518,11 @@ _DEV_CLAMP = 1 << 30   # device-side "could still grow" sentinel (> any L)
 @functools.partial(
     jax.jit,
     static_argnames=("st", "n_patterns", "block", "chl", "interpret",
-                     "at_eot"),
+                     "at_eot", "rolled"),
 )
 def _window_verdict_device(
     st, n_patterns, staged, n_local, can_t, ae_t, *, at_eot,
-    block, chl, interpret,
+    block, chl, interpret, rolled=False,
 ):
     """Whole-window MatchFirst verdict ON DEVICE: (s, L_s, Lo_s, I_s,
     any_proven). One fused pass with a neutral seed yields packed
@@ -531,7 +534,8 @@ def _window_verdict_device(
     Q = len(st[2][0])
     Lpk_t, I_t, _G, _plan, (nb, nbc, K, CHL) = sp.call_fused(
         st, n_patterns, staged, n_local, block=block, chl=chl,
-        interpret=interpret, seed=sp.neutral_seed(Q), emit_f=True,
+        interpret=interpret, rolled=rolled,
+        seed=sp.neutral_seed(Q), emit_f=True,
     )
     Lpk = sp.untile(Lpk_t, nbc, K, CHL)
     I = sp.untile(I_t, nbc, K, CHL) if I_t is not None else None
@@ -571,7 +575,7 @@ def _window_verdict_device(
 
 
 def _window_fused_verdict(st, tables, source, base, end, n, can_np,
-                          block, chl, interpret):
+                          block, chl, interpret, rolled=False):
     """Host wrapper: stage the window, run the device verdict, return
     python scalars (s, L_s, Lo_s, I_s, any_proven)."""
     from ..kernels import schain_pallas as sp
@@ -595,12 +599,14 @@ def _window_fused_verdict(st, tables, source, base, end, n, can_np,
         jnp.asarray(can_np.astype(np.int32)),
         jnp.asarray(tables.accept_eot, jnp.int32),
         at_eot=at_eot, block=block, chl=chl, interpret=interpret,
+        rolled=rolled,
     )
     return tuple(int(x) for x in out)
 
 
 def _window_fused_verdict_staged(st, tables, staged_full, base, end, n,
-                                 can_np, block, chl, interpret):
+                                 can_np, block, chl, interpret,
+                                 rolled=False):
     """Window verdict from a FULLY STAGED corpus: the window's tiles and
     per-block start states are device slices of the one-time staging, so
     the doubling ladder moves NO window-sized data over the tunnel.
@@ -627,6 +633,7 @@ def _window_fused_verdict_staged(st, tables, staged_full, base, end, n,
         jnp.asarray(can_np.astype(np.int32)),
         jnp.asarray(tables.accept_eot, jnp.int32),
         at_eot=at_eot, block=block, chl=chl, interpret=interpret,
+        rolled=rolled,
     )
     return tuple(int(x) for x in out)
 
@@ -663,6 +670,7 @@ def stream_match_first(
     engine: str = "pipeline",
     chl: int = 128,
     staged_full=None,
+    rolled: bool = False,
 ):
     """Exact leftmost-longest first match (start, end, pid) or None.
 
@@ -749,12 +757,12 @@ def stream_match_first(
             if staged_full is not None:
                 s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict_staged(
                     st_, tables, staged_full, base, end, n, can, block,
-                    chl, interpret,
+                    chl, interpret, rolled,
                 )
             else:
                 s_, L_s, Lo_s, I_s, any_p = _window_fused_verdict(
                     st_, tables, source, base, end, n, can, block, chl,
-                    interpret,
+                    interpret, rolled,
                 )
             if s_ < 0:
                 if at_eot:
@@ -770,6 +778,7 @@ def stream_match_first(
                 st2, en2, pid2 = stream_match_all(
                     tables, source, chunk_bytes=chunk_bytes, block=block,
                     engine="fused", chl=chl, interpret=interpret,
+                    rolled=rolled,
                 )
                 if anywhere:
                     return len(st2) > 0
