@@ -197,6 +197,13 @@ def run_configs(size_mb: float, which, engines="all"):
         report("config3_fused_wb_ing",
                tchain(_fused_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")
+        if slow:
+            # Rolled (fori_loop) kernel form: the large-Q compile-time
+            # mitigation — report its runtime overhead vs the unrolled
+            # form at production Q (kernels/schain_pallas.py rolled=).
+            report("config3_fused_rolled_wb_ing",
+                   tchain(_fused_step(p, text, jax, jnp, rolled=True), n),
+                   n, f"Q={p.tables.n_states} rolled")
         # Spans-out end-to-end: fused L/I -> gather-free row extraction ->
         # checksum (the general-DFA analog of the bench.py headline).
         from rejit_tpu.engine import schain as se3, spans as spans3
@@ -424,9 +431,10 @@ def _dfa_cfg():
     return Config(engine="dfa", block_size=32)
 
 
-def _fused_step(p, text, jax, jnp, K=128, CHL=128):
+def _fused_step(p, text, jax, jnp, K=128, CHL=128, rolled=False):
     """step(nv) for the VMEM-fused select-chain kernel (the production
-    accelerator engine, kernels/schain_pallas.py); corpus staged once."""
+    accelerator engine, kernels/schain_pallas.py); corpus staged once.
+    rolled=True measures the fori_loop (large-Q compile) form."""
     n = len(text)
     from rejit_tpu.engine import schain as se
     from rejit_tpu.kernels import schain_pallas as sp
@@ -443,7 +451,8 @@ def _fused_step(p, text, jax, jnp, K=128, CHL=128):
 
     def step(nv):
         L, I = sp.l_arrays_device_staged(
-            st, p.tables.n_patterns, staged, nv, block=K, chl=CHL
+            st, p.tables.n_patterns, staged, nv, block=K, chl=CHL,
+            rolled=rolled,
         )
         return L.max() + I.max()
 

@@ -100,6 +100,12 @@ def _corpus_cases():
 def test_fused_conformance_subset(i, pats, text):
     """Fused kernel L/I == gather pipeline L/I on frozen corpus cases."""
     t = compile_patterns([parser.parse(p) for p in pats])
+    if t.n_states > 32:
+        # The UNROLLED interpret trace is log2(CH)*Q^2 XLA CPU ops — a
+        # Q=50 case measured ~20 min / >20 GB to compile (2026-08-18).
+        # Large-Q fused coverage lives in the rolled differentials
+        # (test_rolled_*) and the on-chip gate (verify_tpu --rolled).
+        pytest.skip(f"Q={t.n_states} exceeds the interpret trace budget")
     st = schain.static_tables(t)
     ct = pipeline.device_tables(t)
     K, CHL = 8, 8
