@@ -6,6 +6,10 @@
 verify-tpu:
 	python tools/verify_tpu.py
 
+# Same gate with the rolled (fori_loop, large-Q) kernel form in stage A.
+verify-tpu-rolled:
+	python tools/verify_tpu.py --rolled
+
 test:
 	python -m pytest tests/ -x -q
 
