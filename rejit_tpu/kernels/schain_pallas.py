@@ -281,15 +281,19 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
-    if count_only:
-        (cnt_ref, gout_ref, sel_scr, g_scr) = refs
-        body_refs = (cnt_ref, sel_scr, g_scr)
-    elif track_pid:
-        (L_ref, I_ref, gout_ref, sel_scr, isel_scr, g_scr) = refs
-        body_refs = (L_ref, I_ref, sel_scr, isel_scr, g_scr)
-    else:
-        (L_ref, gout_ref, sel_scr, g_scr) = refs
-        body_refs = (L_ref, sel_scr, g_scr)
+    t32_scr = None
+    if rolled:
+        *refs, t32_scr = refs
+    if True:
+        if count_only:
+            (cnt_ref, gout_ref, sel_scr, g_scr) = refs
+            body_refs = (cnt_ref, sel_scr, g_scr)
+        elif track_pid:
+            (L_ref, I_ref, gout_ref, sel_scr, isel_scr, g_scr) = refs
+            body_refs = (L_ref, I_ref, sel_scr, isel_scr, g_scr)
+        else:
+            (L_ref, gout_ref, sel_scr, g_scr) = refs
+            body_refs = (L_ref, sel_scr, g_scr)
 
     n = n_ref[0]
     step = pl.program_id(0)
@@ -327,6 +331,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
+            t32_scr=t32_scr,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -448,6 +453,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
+            t32_scr=t32_scr,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -464,7 +470,8 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                   step, posK, srow, lcol, emit_f=False, count_only=False,
-                  rolled=False, interpret=False, text_ref=None):
+                  rolled=False, interpret=False, text_ref=None,
+                  t32_scr=None):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
@@ -486,14 +493,19 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     if rolled:
         # ROLLED byte scan (large-Q compile-time form): ONE traced body in
         # a fori_loop instead of K unrolled steps. k is traced, so the
-        # byte rows come from text_ref slices, the k==0 / k>=1 boundary
-        # emission variants are both computed and blended, and the
-        # per-boundary stash goes through a dynamic sublane store.
+        # byte rows come from dynamic sublane slices — of the INT32 text
+        # staged into scratch (8-bit VMEM refs tile as (32, 128) in
+        # Mosaic; 8-row dynamic slices are only tile-aligned on a 32-bit
+        # copy). The k==0 / k>=1 boundary emission variants are both
+        # computed and blended, and the per-boundary stash goes through a
+        # dynamic sublane store.
+        t32_scr[:, :] = t32
+
         def _byte_body(i, carry):
             pk_ = list(carry[0])
             pi_ = list(carry[1]) if track_pid else None
             k = K - 1 - i
-            b = text_ref[pl.ds(k * 8, 8), :].astype(jnp.int32)
+            b = t32_scr[pl.ds(k * 8, 8), :]
             masks = {
                 cc: _range_mask(b, plan["class_runs"][cc])
                 for cc in range(C)
@@ -564,7 +576,7 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                 isel = pi_[plan["s_def"]] if track_pid else None
             else:
                 kprev = jnp.maximum(k - 1, 0)
-                bprev = text_ref[pl.ds(kprev * 8, 8), :].astype(jnp.int32)
+                bprev = t32_scr[pl.ds(kprev * 8, 8), :]
                 selB = pk_[plan["s_def"]]
                 iselB = pi_[plan["s_def"]] if track_pid else None
                 for us in plan["s_rest"]:
@@ -1040,6 +1052,9 @@ def call_fused(
         pltpu.VMEM((K * 8, CHL), jnp.int32),             # sel stash
         pltpu.SMEM((3, Q), jnp.int32),                   # global suffix
     ]
+    if rolled:
+        # int32 text copy for tile-aligned dynamic byte-row slices.
+        scratch.append(pltpu.VMEM((K * 8, CHL), jnp.int32))
     if track_pid:
         out_shapes.append(
             jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)
