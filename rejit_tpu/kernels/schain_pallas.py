@@ -281,9 +281,12 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
-    t32_scr = None
+    t32_scr = sx_scr = sxi_scr = None
     if rolled:
-        *refs, t32_scr = refs
+        if track_pid and not count_only:
+            *refs, t32_scr, sx_scr, sxi_scr = refs
+        else:
+            *refs, t32_scr, sx_scr = refs
     if True:
         if count_only:
             (cnt_ref, gout_ref, sel_scr, g_scr) = refs
@@ -331,7 +334,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
-            t32_scr=t32_scr,
+            t32_scr=t32_scr, sx_scr=sx_scr, sxi_scr=sxi_scr,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -453,7 +456,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             track_pid=track_pid, nbc=nbc, step=step, posK=posK,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
-            t32_scr=t32_scr,
+            t32_scr=t32_scr, sx_scr=sx_scr, sxi_scr=sxi_scr,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -471,7 +474,7 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                   step, posK, srow, lcol, emit_f=False, count_only=False,
                   rolled=False, interpret=False, text_ref=None,
-                  t32_scr=None):
+                  t32_scr=None, sx_scr=None, sxi_scr=None):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
@@ -744,57 +747,87 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
         # ---- ROLLED doubling scan (large-Q compile-time form) ----------
         # The unrolled scan traces log2(CH) levels x Q^2 selects — the
         # Mosaic compile wall at Q ~ 20+ (bench/NOTES.md "large-Q").
-        # Here each level family is ONE traced body inside a fori_loop
-        # (shift amounts become traced rotates), so the combine's Q^2
-        # selects appear twice in the trace instead of log2(CH) times.
+        # Rolled form, O(Q) trace per level family:
+        #   * the running suffix lives in VMEM scratch (sx_scr, one 8-row
+        #     band per state);
+        #   * each level family is ONE fori_loop body (shift amounts are
+        #     traced rotates): the body reads the Q bands STATICALLY into
+        #     vregs, builds the shifted Sh list, then an INNER fori over
+        #     output states q reads band q dynamically, applies the
+        #     Q-term select chain over the vreg-resident Sh list, and
+        #     writes band q back IN PLACE — safe because out[q] depends
+        #     only on A[q] and the pre-level Sh values, never on other
+        #     bands' updates.
         # Level family 1: d = 1..CHL/2 — lane rotates (traced) + the
         # static next-sublane fixup. Level family 2: d = CHL*2^j,
         # j = 0..2 — sublane rotates (traced).
-        def _lane_body(i, carry):
-            Sx_, Sxi_ = list(carry[0]), list(carry[1])
+        MM = (1 << ms) - 1
+        for q in range(Q):
+            sx_scr[q * 8:(q + 1) * 8, :] = Sx[q]
+            if track_pid:
+                sxi_scr[q * 8:(q + 1) * 8, :] = Sxi[q]
+
+        def _level(mk_shift):
+            """One level family body: mk_shift(x, lvl, fill) -> shifted."""
+            def body(lvl, c):
+                A = [sx_scr[q * 8:(q + 1) * 8, :] for q in range(Q)]
+                Sh = [
+                    mk_shift(A[q], lvl, jnp.int32(q << ms))
+                    for q in range(Q)
+                ]
+                if track_pid:
+                    Ai = [
+                        sxi_scr[q * 8:(q + 1) * 8, :] for q in range(Q)
+                    ]
+                    Shi = [
+                        mk_shift(Ai[q], lvl, jnp.int32(-1))
+                        for q in range(Q)
+                    ]
+
+                def q_body(q, c2):
+                    a = sx_scr[pl.ds(q * 8, 8), :]
+                    t = a >> ms
+                    r = Sh[0]
+                    for qq in range(1, Q):
+                        r = jnp.where(t == qq, Sh[qq], r)
+                    later = (r & MM) > 0
+                    out = jnp.where(later, r, (r & ~MM) | (a & MM))
+                    sx_scr[pl.ds(q * 8, 8), :] = out
+                    if track_pid:
+                        ai = sxi_scr[pl.ds(q * 8, 8), :]
+                        ri = Shi[0]
+                        for qq in range(1, Q):
+                            ri = jnp.where(t == qq, Shi[qq], ri)
+                        sxi_scr[pl.ds(q * 8, 8), :] = jnp.where(
+                            later, ri, ai
+                        )
+                    return c2
+
+                return jax.lax.fori_loop(0, Q, q_body, c)
+
+            return body
+
+        def _lane_shift(x, i, fill):
             d = jnp.int32(1) << i
             edge = CHL - d
-            fillm = (srow == 7) & (lcol >= edge)
-            Sh = []
-            Shi = [] if track_pid else None
-            for q in range(Q):
-                a = _roll_dyn(Sx_[q], edge, 1, interpret)
-                y = jnp.where(lcol < edge, a, jnp.roll(a, 7, axis=0))
-                Sh.append(jnp.where(fillm, jnp.int32(q << ms), y))
-                if track_pid:
-                    ai = _roll_dyn(Sxi_[q], edge, 1, interpret)
-                    yi = jnp.where(lcol < edge, ai, jnp.roll(ai, 7, axis=0))
-                    Shi.append(jnp.where(fillm, jnp.int32(-1), yi))
-            o, oi = _combine_packed(
-                Sx_, Sh, Sxi_ if track_pid else None, Shi, Q=Q, ms=ms
-            )
-            return (tuple(o), tuple(oi) if track_pid else ())
+            a = _roll_dyn(x, edge, 1, interpret)
+            y = jnp.where(lcol < edge, a, jnp.roll(a, 7, axis=0))
+            return jnp.where((srow == 7) & (lcol >= edge), fill, y)
 
-        def _sub_body(j, carry):
-            Sx_, Sxi_ = list(carry[0]), list(carry[1])
+        def _sub_shift(x, j, fill):
             m = jnp.int32(1) << j
-            fillm = srow >= 8 - m
-            Sh = []
-            Shi = [] if track_pid else None
-            for q in range(Q):
-                a = _roll_dyn(Sx_[q], 8 - m, 0, interpret)
-                Sh.append(jnp.where(fillm, jnp.int32(q << ms), a))
-                if track_pid:
-                    ai = _roll_dyn(Sxi_[q], 8 - m, 0, interpret)
-                    Shi.append(jnp.where(fillm, jnp.int32(-1), ai))
-            o, oi = _combine_packed(
-                Sx_, Sh, Sxi_ if track_pid else None, Shi, Q=Q, ms=ms
-            )
-            return (tuple(o), tuple(oi) if track_pid else ())
+            a = _roll_dyn(x, 8 - m, 0, interpret)
+            return jnp.where(srow >= 8 - m, fill, a)
 
-        carry = (tuple(Sx), tuple(Sxi) if track_pid else ())
         lane_levels = CHL.bit_length() - 1          # d = 1 .. CHL/2
         if lane_levels:
-            carry = jax.lax.fori_loop(0, lane_levels, _lane_body, carry)
-        carry = jax.lax.fori_loop(0, 3, _sub_body, carry)
-        Sx = list(carry[0])
+            jax.lax.fori_loop(
+                0, lane_levels, _level(_lane_shift), jnp.int32(0)
+            )
+        jax.lax.fori_loop(0, 3, _level(_sub_shift), jnp.int32(0))
+        Sx = [sx_scr[q * 8:(q + 1) * 8, :] for q in range(Q)]
         if track_pid:
-            Sxi = list(carry[1])
+            Sxi = [sxi_scr[q * 8:(q + 1) * 8, :] for q in range(Q)]
 
     # ---- 4. carry update: G_new = combine(block_0, Sx[0]) --------------
     mask00 = (srow == 0) & (lcol == 0)
@@ -1055,6 +1088,11 @@ def call_fused(
     if rolled:
         # int32 text copy for tile-aligned dynamic byte-row slices.
         scratch.append(pltpu.VMEM((K * 8, CHL), jnp.int32))
+        # running suffix bands (one 8-row band per state) for the O(Q)
+        # -trace rolled combine.
+        scratch.append(pltpu.VMEM((Q * 8, CHL), jnp.int32))
+        if track_pid:
+            scratch.append(pltpu.VMEM((Q * 8, CHL), jnp.int32))
     if track_pid:
         out_shapes.append(
             jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)
