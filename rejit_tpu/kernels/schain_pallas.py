@@ -281,12 +281,12 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
     nxt, acc = plan["nxt_cols"], plan["acc_cols"]
     MMASK = (1 << mb) - 1
     CH = 8 * CHL
-    t32_scr = sx_scr = sxi_scr = None
+    t32_scr = sx_scr = sxi_scr = g2_scr = None
     if rolled:
         if track_pid and not count_only:
-            *refs, t32_scr, sx_scr, sxi_scr = refs
+            *refs, t32_scr, sx_scr, sxi_scr, g2_scr = refs
         else:
-            *refs, t32_scr, sx_scr = refs
+            *refs, t32_scr, sx_scr, g2_scr = refs
     if True:
         if count_only:
             (cnt_ref, gout_ref, sel_scr, g_scr) = refs
@@ -335,6 +335,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
             t32_scr=t32_scr, sx_scr=sx_scr, sxi_scr=sxi_scr,
+            g2_scr=g2_scr,
         )
         _gout(gout_ref, g_scr, Q, step, nbc)
         return
@@ -457,6 +458,7 @@ def _kernel(n_ref, seed_ref, sk0_ref, text_ref, *refs, K, CHL, plan,
             srow=srow, lcol=lcol, emit_f=emit_f, count_only=count_only,
             rolled=rolled, interpret=interpret, text_ref=text_ref,
             t32_scr=t32_scr, sx_scr=sx_scr, sxi_scr=sxi_scr,
+            g2_scr=g2_scr,
         )
 
     _gout(gout_ref, g_scr, Q, step, nbc)
@@ -474,7 +476,7 @@ def _gout(gout_ref, g_scr, Q, step, nbc):
 def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
                   step, posK, srow, lcol, emit_f=False, count_only=False,
                   rolled=False, interpret=False, text_ref=None,
-                  t32_scr=None, sx_scr=None, sxi_scr=None):
+                  t32_scr=None, sx_scr=None, sxi_scr=None, g2_scr=None):
     C, Q, mb = plan["C"], plan["Q"], plan["mb"]
     ms = plan["ms"]
     dom = plan["dom"]
@@ -835,7 +837,34 @@ def _kernel_heavy(n, sk0_ref, t32, refs, *, K, CHL, plan, track_pid, nbc,
     def at00(v):
         return jnp.max(jnp.where(mask00, v, jnp.int32(_NEG)))
 
-    if True:  # carry update every step; the final value is the G output
+    if rolled:
+        # ROLLED carry update: stash the per-state at-block-0 packed
+        # values in SMEM, then one fori over q with a DYNAMIC SMEM read
+        # at t = f0[q] — O(Q) trace instead of the Q^2 scalar chain.
+        MM = (1 << ms) - 1
+        for q in range(Q):
+            g2_scr[0, q] = at00(S[q])
+            g2_scr[1, q] = at00(Sx[q])
+            g2_scr[2, q] = at00(Si[q]) if track_pid else jnp.int32(-1)
+            g2_scr[3, q] = at00(Sxi[q]) if track_pid else jnp.int32(-1)
+
+        def _carry_body(q, c):
+            s_pk = g2_scr[0, q]
+            t = s_pk >> ms
+            sx_pk = g2_scr[1, t]
+            gm = (sx_pk & MM) - 1
+            later = gm >= 0
+            m_new = jnp.where(later, gm, (s_pk & MM) - 1)
+            g_scr[0, q] = sx_pk >> ms
+            g_scr[1, q] = m_new
+            if track_pid:
+                g_scr[2, q] = jnp.where(later, g2_scr[3, t], g2_scr[2, q])
+            else:
+                g_scr[2, q] = jnp.where(m_new >= 0, 0, -1)
+            return c
+
+        jax.lax.fori_loop(0, Q, _carry_body, jnp.int32(0))
+    else:  # carry update every step; the final value is the G output
         MM = (1 << ms) - 1
         f0 = [at00(S[q]) >> ms for q in range(Q)]
         m0 = [(at00(S[q]) & MM) - 1 for q in range(Q)]
@@ -1093,6 +1122,8 @@ def call_fused(
         scratch.append(pltpu.VMEM((Q * 8, CHL), jnp.int32))
         if track_pid:
             scratch.append(pltpu.VMEM((Q * 8, CHL), jnp.int32))
+        # at-block-0 packed values for the rolled carry update.
+        scratch.append(pltpu.SMEM((4, Q), jnp.int32))
     if track_pid:
         out_shapes.append(
             jax.ShapeDtypeStruct((nbc * K * 8, CHL), jnp.int32)
