@@ -408,12 +408,15 @@ class Pattern:
         mode = self.config.schain_fused
         if mode == "off" or self.tables is None:
             return False
-        from .kernels.schain_pallas import AUTO_MAX_Q, MAX_Q
+        from .kernels.schain_pallas import (
+            AUTO_MAX_Q, MAX_Q, MAX_Q_ROLLED,
+        )
 
         Q, C = self.tables.n_states, self.tables.n_classes
         mb = (self._fused_params()[0] + 1).bit_length()
+        q_cap = MAX_Q_ROLLED if self._fused_rolled() else MAX_Q
         fits = (
-            Q <= MAX_Q
+            Q <= q_cap
             and (Q - 1) < (1 << (31 - mb))
             and C * Q <= 4096
             and self.tables.n_patterns < 255
@@ -444,14 +447,16 @@ class Pattern:
         )
 
     def _fused_rolled(self) -> bool:
-        """Rolled (fori_loop) doubling scan inside the fused kernel.
+        """Rolled (fori_loop, O(Q)-trace) form of the fused kernel.
 
         'auto': on above the unrolled compile knee (only reachable with
-        schain_fused='on' today); 'on'/'off' force. Interpret mode always
-        runs unrolled — the rolled interpret path hits an XLA CPU fusion
-        miscompile (see tests/kernels/test_rolled_scan_bit_equal)."""
+        schain_fused='on' today); 'on'/'off' force. The first rolled
+        formulation miscompiled under jitted XLA CPU interpret
+        (bench/NOTES.md); the scratch-band form does not — CI validates
+        it jitted (tests/kernels/test_rolled_*), so interpret mode is
+        allowed."""
         mode = self.config.schain_rolled
-        if self.config.interpret or mode == "off" or self.tables is None:
+        if mode == "off" or self.tables is None:
             return False
         if mode == "on":
             return True

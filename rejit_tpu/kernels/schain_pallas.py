@@ -56,20 +56,22 @@ from ..engine import schain as schain_mod
 
 DEFAULT_CHL = 128   # lane-columns per grid step; CH = 8*CHL blocks/step
 
-MAX_Q = 64          # packed-algebra state limit (f bits trade against P).
-# Q > 64 is a MOSAIC COMPILE wall, not an algebra limit: the in-kernel
-# doubling scan traces Q^2 selects per level (the packed bits allow 128 =
-# 16 MB/call), and a Q=82 kernel did not finish compiling in 14 min on
-# v5e (2026-08-17, K=32..128). Large-Q at speed needs the map-composition
-# combine reformulated as a lane gather (Q <= 128-lane table per sublane
-# row, O(Q) trace per combine instead of O(Q^2)) — see bench/NOTES.md.
+MAX_Q = 64          # UNROLLED-form state cap: its trace is
+# log2(CH)*Q^2 selects and Mosaic compile time blows up far below this
+# (a Q=18 kernel at the default geometry did not compile in 900 s;
+# Q=82 didn't in 14 min — bench/NOTES.md "large-Q").
+
+MAX_Q_ROLLED = 128  # ROLLED-form cap = the packed-algebra bound: f takes
+# ceil(log2 Q) bits below the sign bit, so Q=128 leaves 24 position bits
+# (16 MB/call; larger corpora go sharded/streaming). The rolled form
+# traces O(Q) ops total (fori_loop levels, scratch-band combine, SMEM
+# dynamic-index carry), so compile time stays flat in Q.
 
 AUTO_MAX_Q = 16     # auto-engine compile-knee gate: a Q=18 kernel at the
 # default K=128/CHL=128 geometry did not finish Mosaic compilation in
 # 900 s (v5e, 2026-08-18) while the production Q<=8 kernels compile in
 # ~1 min. Auto selection stays at/below this; schain_fused='on' may go
-# to MAX_Q (slow compile), optionally with rolled=True (the fori_loop
-# scan, ~5x smaller trace).
+# to MAX_Q (unrolled) / MAX_Q_ROLLED (rolled).
 
 _NEG = -(1 << 31) + 1
 
@@ -127,7 +129,7 @@ def _plan(st, K: int):
     C = len(nxt_cols)
     Q = len(nxt_cols[0])
     mb = (K + 1).bit_length()          # bits for m_rel+1 in [0, K]
-    assert Q <= MAX_Q
+    assert Q <= MAX_Q_ROLLED
     ms = m_shift(Q)
     class_runs = _runs_by_value(cls_runs)
     # Dominant class = the chain's default branch. Prefer a non-accepting

@@ -283,18 +283,13 @@ def test_fused_accept_state_above_31():
     "pats", [PATS[0], PATS[5]], ids=["single", "multi"]
 )
 def test_rolled_scan_bit_equal(pats):
-    """The fori_loop (rolled) doubling scan == the unrolled scan.
+    """The fori_loop (rolled, O(Q)-trace) kernel == the unrolled kernel.
 
-    Run under jax.disable_jit(): the rolled interpret path goes through
-    jnp.roll with a TRACED shift, and XLA CPU miscompiles that op mix when
-    fused (observed 2026-08-18: the last block's suffix m-part cleared at
-    the fill boundary even for the STATIC-shift form when standalone
-    -jitted — a fusion artifact absent op-by-op and absent on Mosaic).
-    disable_jit executes op-by-op, validating the rolled ALGEBRA; the
-    hardware lowering (pltpu.roll with traced shifts) is covered by the
-    on-TPU gate (tools/verify_tpu.py --rolled)."""
-    import jax
-
+    Runs JITTED in interpret mode: the first rolled formulation
+    miscompiled under XLA CPU fusion (bench/NOTES.md "XLA CPU pitfall"),
+    the scratch-band form does not — this test is the regression guard
+    for exactly that. A disable_jit canary covers the op-by-op ground
+    truth below. Hardware lowering: tools/verify_tpu.py --rolled."""
     t = compile_patterns([parser.parse(p) for p in pats])
     st = schain.static_tables(t)
     K, CHL = 8, 8
@@ -302,26 +297,49 @@ def test_rolled_scan_bit_equal(pats):
     rng = np.random.default_rng(7)
     text = rng.choice(SOUP, size=P).astype(np.uint8)
     td = jnp.asarray(text)
+    for n in (P, P - 3, P // 2 + 1, 1):
+        L0, I0 = schain_pallas.l_arrays_device_schain_fused(
+            st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+            interpret=True,
+        )
+        L1, I1 = schain_pallas.l_arrays_device_schain_fused(
+            st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+            interpret=True, rolled=True,
+        )
+        np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+        np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+
+
+def test_rolled_disable_jit_canary():
+    """Op-by-op (disable_jit) ground truth for the rolled kernel — the
+    arbiter if the jitted differential above ever fails (XLA CPU fusion
+    miscompiles reproduce only under jit; see bench/NOTES.md)."""
+    import jax
+
+    t = compile_patterns([parser.parse(p) for p in PATS[5]])
+    st = schain.static_tables(t)
+    K, CHL = 8, 4
+    P = K * 8 * CHL * 2
+    rng = np.random.default_rng(3)
+    text = rng.choice(SOUP, size=P).astype(np.uint8)
+    td = jnp.asarray(text)
+    n = P - 5
+    L0, I0 = schain_pallas.l_arrays_device_schain_fused(
+        st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+        interpret=True,
+    )
     with jax.disable_jit():
-        for n in (P - 3, P // 2 + 1):
-            L0, I0 = schain_pallas.l_arrays_device_schain_fused(
-                st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
-                interpret=True,
-            )
-            L1, I1 = schain_pallas.l_arrays_device_schain_fused(
-                st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
-                interpret=True, rolled=True,
-            )
-            np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
-            np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+        L1, I1 = schain_pallas.l_arrays_device_schain_fused(
+            st, t.n_patterns, td, jnp.int32(n), block=K, chl=CHL,
+            interpret=True, rolled=True,
+        )
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
 
 
 def test_rolled_count_and_shard_modes():
-    """Rolled kernel in count_only and emit_f (shard) modes == unrolled.
-
-    Same disable_jit protocol as test_rolled_scan_bit_equal."""
-    import jax
-
+    """Rolled kernel in count_only and emit_f (shard) modes == unrolled
+    (jitted interpret)."""
     pats = [rb"\b\w+ing\b"]
     t = compile_patterns([parser.parse(p) for p in pats])
     st = schain.static_tables(t)
@@ -330,25 +348,53 @@ def test_rolled_count_and_shard_modes():
     rng = np.random.default_rng(9)
     text = rng.choice(SOUP, size=P).astype(np.uint8)
     n = jnp.int32(P - 5)
-    with jax.disable_jit():
-        staged = schain_pallas.stage_text(st, jnp.asarray(text),
-                                          block=K, chl=CHL)
-        c0 = schain_pallas.count_device_staged(
-            st, 1, staged, n, block=K, chl=CHL, interpret=True)
-        c1 = schain_pallas.count_device_staged(
-            st, 1, staged, n, block=K, chl=CHL, interpret=True, rolled=True)
-        assert int(c0) == int(c1)
-        Q = t.n_states
-        for rolled in (False, True):
-            out = schain_pallas.call_fused(
-                st, 1, staged, n, block=K, chl=CHL, interpret=True,
-                seed=schain_pallas.neutral_seed(Q), emit_f=True,
-                rolled=rolled,
-            )
-            if rolled:
-                np.testing.assert_array_equal(
-                    np.asarray(L_u), np.asarray(out[0]))
-                np.testing.assert_array_equal(
-                    np.asarray(G_u), np.asarray(out[2]))
-            else:
-                L_u, G_u = out[0], out[2]
+    staged = schain_pallas.stage_text(st, jnp.asarray(text),
+                                      block=K, chl=CHL)
+    c0 = schain_pallas.count_device_staged(
+        st, 1, staged, n, block=K, chl=CHL, interpret=True)
+    c1 = schain_pallas.count_device_staged(
+        st, 1, staged, n, block=K, chl=CHL, interpret=True, rolled=True)
+    assert int(c0) == int(c1)
+    Q = t.n_states
+    L_u = G_u = None
+    for rolled in (False, True):
+        out = schain_pallas.call_fused(
+            st, 1, staged, n, block=K, chl=CHL, interpret=True,
+            seed=schain_pallas.neutral_seed(Q), emit_f=True,
+            rolled=rolled,
+        )
+        if rolled:
+            np.testing.assert_array_equal(
+                np.asarray(L_u), np.asarray(out[0]))
+            np.testing.assert_array_equal(
+                np.asarray(G_u), np.asarray(out[2]))
+        else:
+            L_u, G_u = out[0], out[2]
+
+
+def test_rolled_large_q_82():
+    """Q in (64, 128]: only the ROLLED form reaches it (MAX_Q_ROLLED);
+    parity vs the XLA select-chain engine."""
+    t = compile_patterns([parser.parse(rb"\b[a-z]{40,80}\b")])
+    assert 64 < t.n_states <= 128, t.n_states
+    st = schain.static_tables(t)
+    K, CHL = 8, 4
+    grain = K * 8 * CHL
+    txt = (b"x " + b"a" * 50 + b" " + b"b" * 40 + b"." + b"c" * 39
+           + b" " + b"d" * 80 + b" " + b"e" * 81)
+    n = len(txt)
+    P = -(-(n + 1) // grain) * grain
+    pad = np.zeros(P, np.uint8)
+    pad[:n] = np.frombuffer(txt, np.uint8)
+    P2 = -(-P // 1024) * 1024
+    pad2 = np.zeros(P2, np.uint8)
+    pad2[:n] = pad[:n]
+    L1, I1 = schain.l_arrays_device_schain(
+        st, jnp.asarray(pad2), jnp.int32(n), block=8)
+    L2, I2 = schain_pallas.l_arrays_device_schain_fused(
+        st, 1, jnp.asarray(pad), jnp.int32(n), block=K, chl=CHL,
+        interpret=True, rolled=True)
+    np.testing.assert_array_equal(
+        np.asarray(L1)[:n + 1], np.asarray(L2)[:n + 1])
+    np.testing.assert_array_equal(
+        np.asarray(I1)[:n + 1], np.asarray(I2)[:n + 1])
