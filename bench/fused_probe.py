@@ -33,6 +33,8 @@ def main():
                     help="sparse: punctuation-heavy corpus exercising the "
                          "chunk-skip fast path")
     ap.add_argument("--no-ff", action="store_true")
+    ap.add_argument("--rolled", action="store_true",
+                    help="fori_loop kernel form (large-Q compile path)")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +87,8 @@ def main():
     )(text_dev)
     t0 = time.time()
     L, _ = sp.l_arrays_device_staged(
-        st, t.n_patterns, staged, jnp.int32(n), block=K, chl=CHL
+        st, t.n_patterns, staged, jnp.int32(n), block=K, chl=CHL,
+        rolled=args.rolled,
     )
     got = int(jnp.sum(L >= 0))
     log(f"first call (incl. compile): {time.time()-t0:.1f}s; "
@@ -97,7 +100,7 @@ def main():
         )
         L1, I1 = sp.l_arrays_device_schain_fused(
             st, t.n_patterns, text_dev, jnp.int32(n), block=K, chl=CHL,
-            use_ff=not args.no_ff,
+            use_ff=not args.no_ff, rolled=args.rolled,
         )
         assert bool(jnp.array_equal(L1, L2)), "L mismatch on TPU"
         assert bool(jnp.array_equal(I1, I2)), "I mismatch on TPU"
@@ -109,7 +112,7 @@ def main():
         def step(nv):
             return sp.count_device_staged(
                 st, t.n_patterns, staged_c, nv, block=K, chl=CHL,
-                use_ff=not args.no_ff,
+                use_ff=not args.no_ff, rolled=args.rolled,
             )
     elif args.stage == "kernel":
         import functools
@@ -117,7 +120,8 @@ def main():
         @functools.partial(jax.jit, static_argnames=())
         def scan_only(nv):
             L_t, I_t, _, _ = sp.call_fused(
-                st, t.n_patterns, text_dev, nv, block=K, chl=CHL
+                st, t.n_patterns, text_dev, nv, block=K, chl=CHL,
+                rolled=args.rolled,
             )
             r = L_t.max()
             if I_t is not None:
@@ -129,7 +133,7 @@ def main():
         def step(nv):
             L, I = sp.l_arrays_device_schain_fused(
                 st, t.n_patterns, text_dev, nv, block=K, chl=CHL,
-                use_ff=not args.no_ff,
+                use_ff=not args.no_ff, rolled=args.rolled,
             )
             return L.max() + I.max()  # both outputs live — nothing DCE'd
     per = tchain(step, n)

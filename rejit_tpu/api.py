@@ -433,12 +433,19 @@ class Pattern:
         if self.config.pallas != "auto":  # explicit engine choice wins
             return False
         # Auto selection additionally respects the measured Mosaic COMPILE
-        # knee: a Q=18 kernel at the default geometry did not compile in
-        # 900 s on v5e (bench/NOTES.md "large-Q"), so auto only picks the
-        # fused kernel where compile times are known-reasonable; larger Q
-        # routes to the XLA select-chain engine. schain_fused='on'
-        # overrides (documented slow compile up to MAX_Q).
-        if not self.config.interpret and Q > AUTO_MAX_Q:
+        # knee: an UNROLLED Q=18 kernel at the default geometry did not
+        # compile in 900 s on v5e, while the ROLLED (fori_loop) form
+        # compiles the same DFA in ~19 s and runs 10+ GB/s
+        # (bench/NOTES.md "large-Q"), so auto routes Q above the unrolled
+        # knee to the rolled form up to its own measured knee, and only
+        # beyond that to the XLA select-chain engine. schain_fused='on'
+        # overrides (documented slow compile up to the form's MAX_Q).
+        from .kernels.schain_pallas import AUTO_MAX_Q_ROLLED
+
+        auto_cap = (
+            AUTO_MAX_Q_ROLLED if self._fused_rolled() else AUTO_MAX_Q
+        )
+        if not self.config.interpret and Q > auto_cap:
             return False
         import jax
 

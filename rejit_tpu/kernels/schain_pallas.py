@@ -64,14 +64,23 @@ MAX_Q = 64          # UNROLLED-form state cap: its trace is
 MAX_Q_ROLLED = 128  # ROLLED-form cap = the packed-algebra bound: f takes
 # ceil(log2 Q) bits below the sign bit, so Q=128 leaves 24 position bits
 # (16 MB/call; larger corpora go sharded/streaming). The rolled form
-# traces O(Q) ops total (fori_loop levels, scratch-band combine, SMEM
-# dynamic-index carry), so compile time stays flat in Q.
+# traces ~2*Q^2 ops total (fori_loop levels, scratch-band combine, SMEM
+# dynamic-index carry) — measured cold compiles on v5e: 19 s at Q=18,
+# 289 s at Q=50, >560 s at Q=82 (bench/NOTES.md), so the cap is a
+# correctness bound; expect multi-minute one-time compiles at the top.
 
 AUTO_MAX_Q = 16     # auto-engine compile-knee gate: a Q=18 kernel at the
 # default K=128/CHL=128 geometry did not finish Mosaic compilation in
 # 900 s (v5e, 2026-08-18) while the production Q<=8 kernels compile in
 # ~1 min. Auto selection stays at/below this; schain_fused='on' may go
 # to MAX_Q (unrolled) / MAX_Q_ROLLED (rolled).
+
+AUTO_MAX_Q_ROLLED = 32  # auto gate for the ROLLED form: measured cold
+# compiles on v5e (bench/NOTES.md "rolled form measured on-chip") are
+# 19 s at Q=18 and 289 s at Q=50; the gate sits where a one-time cold
+# compile stays comparable to the Q<=16 unrolled kernels (~1 min) and
+# the measured throughput (10 GB/s at Q=18) is 6-25x the XLA
+# select-chain fallback. schain_fused='on' reaches MAX_Q_ROLLED.
 
 _NEG = -(1 << 31) + 1
 

@@ -47,6 +47,40 @@ def test_engine_selection():
     assert Pattern("foo", Config(engine="oracle")).engine == "oracle"
 
 
+def test_fused_auto_gate_large_q(monkeypatch):
+    """Auto engine routing vs the measured Mosaic compile knees
+    (bench/NOTES.md "large-Q"): unrolled fused for Q <= AUTO_MAX_Q,
+    ROLLED fused for Q in (AUTO_MAX_Q, AUTO_MAX_Q_ROLLED], XLA
+    select-chain beyond. Backend is faked to 'tpu' — this checks the
+    routing logic only (on-chip equality: tools/verify_tpu.py)."""
+    import jax
+
+    from rejit_tpu import api as api_mod
+    from rejit_tpu.kernels.schain_pallas import AUTO_MAX_Q, AUTO_MAX_Q_ROLLED
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cases = [
+        (r"\b\w+ing\b", 6, True, False),        # production Q: unrolled
+        (r"\b[a-z]{8,16}\b", 18, True, True),   # knee < Q <= rolled knee
+        (r"\b[a-z]{16,30}\b", 32, True, True),  # exactly AUTO_MAX_Q_ROLLED
+        (r"\b[a-z]{24,48}\b", 50, False, True), # beyond: XLA select-chain
+    ]
+    for pat, q, want_fused, want_rolled in cases:
+        p = Pattern(pat)
+        assert p.tables.n_states == q, pat
+        assert p._use_schain_fused() == want_fused, pat
+        if want_fused:
+            assert p._fused_rolled() == want_rolled, pat
+    assert AUTO_MAX_Q == 16 and AUTO_MAX_Q_ROLLED == 32
+    # schain_fused='on' still reaches large Q (rolled by default there);
+    # schain_rolled='off' confines auto to the unrolled knee.
+    p = Pattern(r"\b[a-z]{24,48}\b", Config(schain_fused="on"))
+    assert p._use_schain_fused() and p._fused_rolled()
+    p = Pattern(r"\b[a-z]{8,16}\b", Config(schain_rolled="off"))
+    assert not p._use_schain_fused()
+    del api_mod
+
+
 def test_literal_and_dfa_engines_agree():
     texts = TEXTS + [b"aaaa", b"foofoofoo", b"fofoofo"]
     for pat in ["foo", "aa", "foo|bar|baz", "a|ab"]:
