@@ -20,7 +20,7 @@ import numpy as np
 from .compile import analysis, parser
 from .compile import ir as ir_mod
 from .compile.dfa import compile_patterns
-from .errors import CompileError
+from .errors import CompileError, StateBlowupError
 from .config import Config, DEFAULT
 from .engine import pipeline, select, select_device, spans
 from .kernels import classrun as classrun_kernel
@@ -167,16 +167,60 @@ class Pattern:
                 hi,
             )
         if self.engine == "dfa":
-            self.tables = self._compile_tables_cached()
-            if config.print_tables:
-                from .compile import debug
+            try:
+                self.tables = self._compile_tables_cached()
+            except StateBlowupError as err:
+                self.tables = self._blowup_fallback(err)
+            if self.tables is not None:
+                if config.print_tables:
+                    from .compile import debug
 
-                print(debug.format_tables(self.tables))
-            self.ct = pipeline.device_tables(self.tables)
-        elif self.engine == "oracle":
+                    print(debug.format_tables(self.tables))
+                self.ct = pipeline.device_tables(self.tables)
+        if self.engine == "oracle" and self._oracle is None:
             from .oracle import OraclePattern
 
             self._oracle = OraclePattern(list(self.source))
+
+    def _blowup_fallback(self, err: StateBlowupError):
+        """A supported pattern must never hard-fail (the reference's
+        state-ring runs any supported pattern in memory linear in pattern
+        size — SURVEY.md §2.1/C6). On a state-budget blowup under auto
+        engine selection: retry subset construction once with a 4x budget;
+        if that blows up too, switch this Pattern to the NFA-simulation
+        oracle with a logged warning. Forced engines and
+        Config(oracle_fallback='off') keep the hard error."""
+        cfg = self.config
+        if cfg.engine is not None or cfg.oracle_fallback == "off":
+            raise err
+        try:
+            return compile_patterns(
+                self.irs,
+                max_nfa_states=cfg.max_nfa_states * 4,
+                max_dfa_states=cfg.max_dfa_states * 4,
+            )
+        except StateBlowupError:
+            pass
+        from .oracle import OraclePattern
+
+        try:
+            self._oracle = OraclePattern(
+                list(self.source), max_states=cfg.max_nfa_states * 4
+            )
+        except StateBlowupError:
+            raise err  # NFA itself is over budget: genuinely too large
+        import warnings
+
+        warnings.warn(
+            f"DFA construction exceeded {cfg.max_dfa_states * 4} states for "
+            f"{[p.decode('latin-1') for p in self.source]}; falling back to "
+            "the NFA-simulation oracle engine (correct but slow). Raise "
+            "Config(max_dfa_states=...) for a table-driven engine.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        self.engine = "oracle"
+        return None
 
     def _compile_tables_cached(self):
         """Compile DFA tables, consulting the disk cache when enabled."""
@@ -709,6 +753,11 @@ class Pattern:
         from .engine import stream
         from .kernels.dfa_pallas import CHUNK
 
+        if self._oracle:
+            data = self._stream_source(source)
+            triples = self._oracle.match_all_ids(bytes(data.tobytes()))
+            arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
+            return arr[:, 0], arr[:, 1], arr[:, 2]
         tables = self._dfa_tables()
         if self._use_schain_fused():
             from .kernels import schain_pallas
@@ -819,6 +868,10 @@ class Pattern:
         size (engine/stream.py)."""
         from .engine import stream
 
+        if self._oracle:
+            return self._oracle.match_first(
+                bytes(self._stream_source(source).tobytes())
+            )
         m = stream.stream_match_first(
             self._dfa_tables(),
             self._stream_source(source),
@@ -831,6 +884,10 @@ class Pattern:
     ) -> bool:
         from .engine import stream
 
+        if self._oracle:
+            return self._oracle.match_anywhere(
+                bytes(self._stream_source(source).tobytes())
+            )
         return stream.stream_match_anywhere(
             self._dfa_tables(),
             self._stream_source(source),
@@ -842,6 +899,10 @@ class Pattern:
     ) -> bool:
         from .engine import stream
 
+        if self._oracle:
+            return self._oracle.match_full(
+                bytes(self._stream_source(source).tobytes())
+            )
         return stream.stream_match_full(
             self._dfa_tables(),
             self._stream_source(source),

@@ -26,7 +26,7 @@ from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..errors import CompileError
+from ..errors import CompileError, StateBlowupError
 from . import ir
 from .nfa import NFA, Flags, closure, move
 
@@ -142,7 +142,7 @@ def determinize(
         sid = ids.get(key)
         if sid is None:
             if len(order) >= max_states:
-                raise CompileError(
+                raise StateBlowupError(
                     f"DFA exceeds {max_states} states; raise "
                     "config.max_dfa_states or simplify the pattern"
                 )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from ..errors import CompileError
+from ..errors import CompileError, StateBlowupError
 from . import ir
 
 # Epsilon edge kinds: None = unconditional; otherwise assertion gate.
@@ -53,7 +53,7 @@ class _Builder:
 
     def state(self) -> int:
         if len(self.eps) >= self.max_states:
-            raise CompileError(
+            raise StateBlowupError(
                 f"pattern too large: exceeds {self.max_states} NFA states"
             )
         self.eps.append([])

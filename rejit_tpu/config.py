@@ -45,6 +45,13 @@ class Config:
     # Use the native C++ helpers when built ('auto'|'native'|'python').
     selection: str = "auto"
 
+    # When subset construction exceeds the state budget on an auto-selected
+    # engine, retry with a 4x budget and then fall back to the
+    # NFA-simulation oracle (slow but correct — the reference's state-ring
+    # behavior class: any supported pattern runs, SURVEY.md §2.1/C6).
+    # 'on' (default) or 'off' (hard-fail with StateBlowupError).
+    oracle_fallback: str = "on"
+
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False
 
@@ -121,6 +128,7 @@ class Config:
             max_nfa_states=_env_int("REJIT_TPU_MAX_NFA_STATES", 20000),
             max_dfa_states=_env_int("REJIT_TPU_MAX_DFA_STATES", 4096),
             selection=os.environ.get("REJIT_TPU_SELECTION", "auto"),
+            oracle_fallback=os.environ.get("REJIT_TPU_ORACLE_FALLBACK", "on"),
             disk_cache=_env_bool("REJIT_TPU_DISK_CACHE", False),
             device_select_threshold=_env_int(
                 "REJIT_TPU_DEVICE_SELECT_THRESHOLD", 1 << 31

@@ -26,3 +26,12 @@ class RegexpError(RejitTpuError):
 
 class CompileError(RejitTpuError):
     """Pattern parsed but could not be compiled (e.g. automaton too large)."""
+
+
+class StateBlowupError(CompileError):
+    """Automaton construction exceeded a state budget.
+
+    Distinct from other CompileErrors so the API layer can fall back to a
+    larger budget or the NFA-simulation oracle instead of hard-failing a
+    supported pattern (the reference's state-ring executes any supported
+    pattern in memory linear in pattern size — SURVEY.md §2.1/C6)."""

@@ -1,0 +1,76 @@
+"""DFA-blowup fallback: a supported pattern never hard-fails.
+
+The reference's state-ring NFA executes any supported pattern in memory
+linear in pattern size (SURVEY.md §2.1/C6); our table compiler can blow up
+on subset construction instead. The API layer therefore retries with a 4x
+budget and then falls back to the NFA-simulation oracle (api.py
+_blowup_fallback), differential-tested here against the oracle directly.
+"""
+import warnings
+
+import pytest
+
+from rejit_tpu import Config, Pattern
+from rejit_tpu import oracle
+from rejit_tpu.errors import StateBlowupError
+
+# DFA state count for (a|b)*a(a|b){k} is ~2^(k+1): classic blowup family.
+BLOWUP9 = r"(a|b)*a(a|b){9}"    # ~1024 states
+BLOWUP5 = r"(a|b)*a(a|b){5}"    # ~64 states
+TEXT = b"abbaabbabababbaaababmbaabbbaaaabab" * 3
+
+
+def test_escalation_keeps_dfa_engine():
+    # 64-state DFA fails the 32-state budget but fits the 4x retry.
+    p = Pattern(BLOWUP5, Config(max_dfa_states=32))
+    assert p.engine == "dfa"
+    assert p.tables is not None and p.tables.n_states > 32
+    assert p.match_all(TEXT) == oracle.OraclePattern(BLOWUP5).match_all(TEXT)
+
+
+def test_oracle_fallback_spans_match():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p = Pattern(BLOWUP9, Config(max_dfa_states=64))
+    assert p.engine == "oracle"
+    assert any("falling back" in str(x.message) for x in w)
+    orc = oracle.OraclePattern(BLOWUP9)
+    assert p.match_all(TEXT) == orc.match_all(TEXT)
+    assert p.match_first(TEXT) == orc.match_first(TEXT)
+    assert p.match_anywhere(TEXT) == orc.match_anywhere(TEXT)
+    assert p.match_full(TEXT) == orc.match_full(TEXT)
+    assert p.match_all_count(TEXT) == orc.match_all_count(TEXT)
+
+
+def test_oracle_fallback_stream_ops():
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        p = Pattern(BLOWUP9, Config(max_dfa_states=64))
+    starts, ends, pids = p.match_all_stream(TEXT)
+    want = oracle.OraclePattern(BLOWUP9).match_all_ids(TEXT)
+    assert list(zip(starts.tolist(), ends.tolist(), pids.tolist())) == want
+    assert p.match_first_stream(TEXT) == oracle.OraclePattern(
+        BLOWUP9
+    ).match_first(TEXT)
+    assert p.match_anywhere_stream(TEXT)
+    assert not p.match_full_stream(TEXT)
+
+
+def test_forced_engine_still_raises():
+    with pytest.raises(StateBlowupError):
+        Pattern(BLOWUP9, Config(engine="dfa", max_dfa_states=64))
+
+
+def test_fallback_off_still_raises():
+    with pytest.raises(StateBlowupError):
+        Pattern(BLOWUP9, Config(oracle_fallback="off", max_dfa_states=64))
+
+
+def test_verdict_pattern_default_config():
+    # The exact round-2 VERDICT repro: must return correct spans, not raise.
+    pat = r"(a|b)*a(a|b){14}"
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        p = Pattern(pat)
+    text = b"bb" + b"a" * 20 + b"xx" + b"ab" * 9
+    assert p.match_all(text) == oracle.OraclePattern(pat).match_all(text)
