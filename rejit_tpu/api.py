@@ -647,7 +647,21 @@ class Pattern:
             with Timer() as t_dev:
                 L, I = self._l_i_device(t, corpus=corpus)
                 n_cand = int(spans.candidate_count(L))
-            if n_cand > self.config.device_select_threshold:
+            if (
+                self.engine in ("dfa", "classrun")
+                and self.info.run_partition
+                and n_cand * 8 > len(t)
+            ):
+                # Dense run-partition results (tokenizers): selection is
+                # elementwise (spans.partition_select_mask) and the
+                # host materialization is ONE uint8 per position — the
+                # dense-output transfer floor on this rig's ~25 MB/s
+                # tunnel (bench/NOTES.md round-3 e2e roofline) — instead
+                # of the 8-byte (L, I) pair.
+                with Timer() as t_sel:
+                    pid_u8 = np.asarray(spans.partition_pid_bytes(L, I))
+                    out = spans.partition_arrays_host(pid_u8, len(t))
+            elif n_cand > self.config.device_select_threshold:
                 with Timer() as t_sel:
                     out = select_device.match_all_device(L, I)
                 pos = out[0]
@@ -689,6 +703,16 @@ class Pattern:
                 jnp.asarray(ext), jnp.int32(n), lits=self.info.literals, P=P
             )
             return int(cnt)
+        if self.engine in ("dfa", "classrun") and self.info.run_partition:
+            # Elementwise selection makes the count a pure device
+            # reduction over the (L, I) arrays (spans.partition_count).
+            with Timer() as t_all:
+                with Timer() as t_dev:
+                    L, I = self._l_i_device(t, corpus=corpus)
+                cnt = int(spans.partition_count(L, I))
+            self._record("match_all_count", len(t), cnt, t_dev.elapsed,
+                         t_all.elapsed)
+            return cnt
         if (
             self.engine == "dfa"
             and self.info.overlap_free

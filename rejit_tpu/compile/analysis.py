@@ -182,6 +182,54 @@ def literals_overlap_free(lits: List[bytes]) -> bool:
     return True
 
 
+def classrun_of(re: ir.Re) -> Optional[Tuple[int, int, Optional[int]]]:
+    """If the pattern is exactly [class]{lo,hi} with lo >= 1, return
+    (bitmap, lo, hi); CharClass/1-byte Lit alone counts as {1,1}."""
+    def as_class(x) -> Optional[int]:
+        if isinstance(x, ir.CharClass):
+            return x.bitmap
+        if isinstance(x, ir.Lit) and len(x.data) == 1:
+            return ir.bit(x.data[0])
+        return None
+
+    bm = as_class(re)
+    if bm is not None:
+        return bm, 1, 1
+    if isinstance(re, ir.Rep) and re.lo >= 1:
+        bm = as_class(re.child)
+        if bm is not None:
+            return bm, re.lo, re.hi
+    return None
+
+
+def is_run_partition(irs) -> bool:
+    """True iff every pattern is a maximal-run class pattern `[class]+`
+    (lo == 1, unbounded hi) with pairwise-disjoint classes.
+
+    Then greedy leftmost-longest non-overlap selection (docs/SEMANTICS.md)
+    degenerates to an ELEMENTWISE rule: a candidate position s is selected
+    iff s == 0 or its class differs from position s-1's (run starts). Proof
+    sketch: by induction the cursor only ever rests at run boundaries or
+    non-member positions, and the leftmost-longest match at a run start is
+    the whole run (classes are disjoint, so no other pattern can start
+    there). This is the device-side selection fast path for tokenizer
+    workloads (BASELINE config 4) — no sequential greedy pass, no gathers.
+    """
+    seen: List[int] = []
+    for r in irs:
+        cr = classrun_of(r)
+        if cr is None:
+            return False
+        bm, lo, hi = cr
+        if lo != 1 or hi is not None:
+            return False
+        for other in seen:
+            if bm & other:
+                return False
+        seen.append(bm)
+    return bool(seen)
+
+
 @dataclass(frozen=True)
 class PatternInfo:
     """Aggregated analysis for one pattern list (RegexpInfo analog,
@@ -195,6 +243,8 @@ class PatternInfo:
     literals: Optional[Tuple[bytes, ...]]  # patterns are (alts of) literals
     literal_pids: Optional[Tuple[int, ...]]  # pattern id of each literal
     overlap_free: bool           # literals provably never overlap
+    run_partition: bool          # elementwise selection applies (see
+    # is_run_partition)
 
 
 def analyze(irs) -> PatternInfo:
@@ -222,4 +272,5 @@ def analyze(irs) -> PatternInfo:
         literals=None if lits is None else tuple(lits),
         literal_pids=None if lits is None else tuple(pids),
         overlap_free=bool(lits) and literals_overlap_free(lits),
+        run_partition=is_run_partition(irs),
     )

@@ -148,6 +148,51 @@ def extract_rows_packed(
     )
 
 
+@jax.jit
+def partition_select_mask(L: jnp.ndarray, I: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise non-overlap selection for run-partition pattern sets
+    (analysis.is_run_partition): a candidate is selected iff it starts a
+    maximal class run — position 0 or a class change. No sequential
+    greedy, no gathers; the whole selection is one compare per byte."""
+    cand = L >= 0
+    prev = jnp.concatenate([jnp.full(1, -2, I.dtype), I[:-1]])
+    return cand & (I != prev)
+
+
+@jax.jit
+def partition_count(L: jnp.ndarray, I: jnp.ndarray) -> jnp.ndarray:
+    """MatchAllCount for run-partition patterns: a pure device reduction
+    over the elementwise selection mask (no L/I host transfer at all)."""
+    return jnp.sum(partition_select_mask(L, I), dtype=jnp.int32)
+
+
+@jax.jit
+def partition_pid_bytes(L: jnp.ndarray, I: jnp.ndarray) -> jnp.ndarray:
+    """uint8 per-position pattern-id array (255 = no candidate): the
+    minimal host-materialization format for run-partition results. Token
+    spans reconstruct on host from value changes alone (runs of equal pid
+    are tokens), so transfer is 1 byte/position instead of the 8 bytes of
+    the raw (L, I) int32 pair — the dense-output tunnel-transfer roofline
+    is bandwidth*1 byte/byte (bench/NOTES.md round-3 e2e probe)."""
+    return jnp.where(L >= 0, I, 255).astype(jnp.uint8)
+
+
+def partition_arrays_host(pid_u8: np.ndarray, n: int):
+    """Decode (starts, ends, pids) int64 arrays from the uint8 pid-per-
+    position array (host side, numpy C speed)."""
+    v = pid_u8[: n + 1].copy()
+    if len(v) <= n:  # L/I arrays always carry one trailing boundary
+        v = np.concatenate([v, np.full(1, 255, np.uint8)])
+    v[n] = 255
+    change = np.flatnonzero(v[1:] != v[:-1]) + 1
+    bounds = np.concatenate([[0], change]).astype(np.int64)
+    vals = v[bounds]
+    keep = vals != 255
+    starts = bounds[keep]
+    ends = np.concatenate([bounds[1:], [n]])[keep].astype(np.int64)
+    return starts, ends, vals[keep].astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "overlap_free"))
 def spans_device(
     L: jnp.ndarray, I: jnp.ndarray, *, cap: int, overlap_free: bool

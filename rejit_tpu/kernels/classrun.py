@@ -23,21 +23,9 @@ from ..compile import ir
 def detect(node) -> Optional[Tuple[int, int, Optional[int]]]:
     """If the pattern is exactly [class]{lo,hi} with lo >= 1, return
     (bitmap, lo, hi). CharClass alone counts as {1,1}."""
-    def as_class(x) -> Optional[int]:
-        if isinstance(x, ir.CharClass):
-            return x.bitmap
-        if isinstance(x, ir.Lit) and len(x.data) == 1:
-            return ir.bit(x.data[0])
-        return None
+    from ..compile.analysis import classrun_of
 
-    bm = as_class(node)
-    if bm is not None:
-        return bm, 1, 1
-    if isinstance(node, ir.Rep) and node.lo >= 1:
-        bm = as_class(node.child)
-        if bm is not None:
-            return bm, node.lo, node.hi
-    return None
+    return classrun_of(node)
 
 
 def member_lut(bitmap: int) -> np.ndarray:
