@@ -274,19 +274,39 @@ def run_configs(size_mb: float, which, engines="all"):
                    tchain(_dfa_step(p, text, jax, jnp), n), n)
             report("config4_pal_tokenizer",
                    tchain(_dfa_step(p, text, jax, jnp, pallas=True), n), n)
-        # end-to-end spans incl. host transfer + selection (1 MB: the span
-        # list is dense, ~1 token/3 bytes; see engine/select_device for the
-        # device-resident path)
-        small = text[: 1024 * 1024]
-        p.match_all_arrays(small)
-        t0 = time.perf_counter()
-        starts, _, _ = p.match_all_arrays(small)
-        report("config4_tokenizer_e2e", time.perf_counter() - t0, len(small),
-               f"{len(starts)} tokens (single call, tunnel RTT included)")
+        # End-to-end spans incl. host materialization: the run-partition
+        # elementwise selection + 1-byte/position pid transfer + numpy
+        # decode (engine/spans.py partition_*). Bounded by the tunnel's
+        # measured ~20-30 MB/s data bandwidth (bench/e2e_probe.py), i.e.
+        # this number IS the dense-output transfer roofline on this rig —
+        # see bench/NOTES.md "dense-match e2e roofline" (round 3).
+        assert p.info.run_partition
+        p.match_all_arrays(text)  # warm
+        e2e_best, n_tok = None, 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            starts, _, _ = p.match_all_arrays(text)
+            dt = time.perf_counter() - t0
+            e2e_best = dt if e2e_best is None else min(e2e_best, dt)
+            n_tok = len(starts)
+        report("config4_tokenizer_e2e", e2e_best, n,
+               f"{n_tok} tokens (1-byte/pos transfer, min of 3)")
 
-        # Dense spans-out ON DEVICE, chained (1 MB): fused L/I -> candidate
-        # compaction -> non-overlap selection -> compacted spans reduced to
-        # a checksum (the device_select_threshold path, never RTT-bound).
+        # Count e2e: pure device reduction + one scalar readback.
+        p.match_all_count(text)  # warm
+        cnt_best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cnt = p.match_all_count(text)
+            dt = time.perf_counter() - t0
+            cnt_best = dt if cnt_best is None else min(cnt_best, dt)
+        report("config4_count_e2e", cnt_best, n,
+               f"{cnt} tokens (single call, RTT included)")
+
+        # Dense spans-out ON DEVICE, chained: fused L/I -> ELEMENTWISE
+        # non-overlap selection (partition_select_mask; the old
+        # pointer-doubling path measured ~620 ns/candidate and is
+        # retired) -> checksum over selected (start, end, pid).
         from rejit_tpu.engine import spans as spans_mod
 
         K4, CHL4 = 128, 128
@@ -294,39 +314,38 @@ def run_configs(size_mb: float, which, engines="all"):
         from rejit_tpu.kernels import schain_pallas as sp4
 
         st4 = se4.static_tables(p.tables)
-        ns = len(small)
+        ns = n
         grain4 = K4 * 8 * CHL4
         P4 = ((ns + grain4 - 1) // grain4) * grain4
         pad4 = np.zeros(P4, dtype=np.uint8)
-        pad4[:ns] = small
+        pad4[:ns] = text
         td4 = jax.device_put(jnp.asarray(pad4))
         staged4 = jax.jit(
             lambda td: sp4.stage_text(st4, td, block=K4, chl=CHL4)
         )(td4)
-        L4, I4 = sp4.l_arrays_device_staged(
-            st4, p.tables.n_patterns, staged4, jnp.int32(ns),
-            block=K4, chl=CHL4,
-        )
-        c4 = int(spans_mod.candidate_count(L4))
-        cap4 = 1 << max(10, (c4 - 1).bit_length())
-        ov4 = bool(p.info.overlap_free)
 
         def step4(nv):
             L, I = sp4.l_arrays_device_staged(
                 st4, p.tables.n_patterns, staged4, nv, block=K4, chl=CHL4
             )
-            s_, e_, pid_, k_ = spans_mod.spans_device(
-                L, I, cap=cap4, overlap_free=ov4
-            )
+            m = spans_mod.partition_select_mask(L, I)
+            pos = jnp.arange(L.shape[0], dtype=jnp.int32)
             return (
-                jnp.sum(s_, dtype=jnp.int32)
-                + jnp.sum(e_, dtype=jnp.int32)
-                + jnp.sum(pid_, dtype=jnp.int32)
-                + k_
+                jnp.sum(jnp.where(m, pos, 0), dtype=jnp.int32)
+                + jnp.sum(jnp.where(m, L, 0), dtype=jnp.int32)
+                + jnp.sum(jnp.where(m, I, 0), dtype=jnp.int32)
             )
 
+        # parity: device checksum == host-decoded checksum
+        s_h, e_h, p_h = p.match_all_arrays(text)
+        want4 = int(
+            (np.sum(s_h) + np.sum(e_h) + np.sum(p_h)) & 0xFFFFFFFF
+        )
+        got4 = int(step4(jnp.int32(ns))) & 0xFFFFFFFF
+        assert got4 == want4, (got4, want4)
         report("config4_spans_device", tchain(step4, ns), ns,
-               f"{c4} candidates, cap {cap4}, overlap_free={ov4}")
+               f"{len(s_h)} tokens, elementwise selection, "
+               "checksum==host")
 
     # ---- config 5: sharded corpus over all devices ---------------------
     if 5 in which:
