@@ -573,7 +573,10 @@ class Pattern:
     def match_full(self, text: TextLike) -> bool:
         t, corpus = _unwrap(text)
         if self._oracle:
-            return self._oracle.match_full(t.tobytes())
+            with Timer() as t_all:
+                got = self._oracle.match_full(t.tobytes())
+            self._record("match_full", len(t), int(got), 0.0, t_all.elapsed)
+            return got
         with Timer() as t_all:
             with Timer() as t_dev:
                 L, _ = self._l_i_device(t, corpus=corpus)
@@ -585,7 +588,11 @@ class Pattern:
     def match_anywhere(self, text: TextLike) -> bool:
         t, corpus = _unwrap(text)
         if self._oracle:
-            return self._oracle.match_anywhere(t.tobytes())
+            with Timer() as t_all:
+                got = self._oracle.match_anywhere(t.tobytes())
+            self._record("match_anywhere", len(t), int(got), 0.0,
+                         t_all.elapsed)
+            return got
         if self.engine == "dfa" and len(t) > self.config.first_window:
             with Timer() as t_all:
                 got = self.match_anywhere_stream(
@@ -605,7 +612,11 @@ class Pattern:
     def match_first(self, text: TextLike) -> Optional[Span]:
         t, corpus = _unwrap(text)
         if self._oracle:
-            return self._oracle.match_first(t.tobytes())
+            with Timer() as t_all:
+                m = self._oracle.match_first(t.tobytes())
+            self._record("match_first", len(t), int(m is not None), 0.0,
+                         t_all.elapsed)
+            return m
         # Early exit: work scales with the distance to the first match
         # (doubling windows, engine/stream.py), not the text length —
         # rejit's MatchFirst stops at the first verified hit
@@ -640,8 +651,11 @@ class Pattern:
         DeviceCorpus (see `stage`) to skip per-call staging."""
         t, corpus = _unwrap(text)
         if self._oracle:
-            triples = self._oracle.match_all_ids(t.tobytes())
+            with Timer() as t_all:
+                triples = self._oracle.match_all_ids(t.tobytes())
             arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
+            self._record("match_all", len(t), len(triples), 0.0,
+                         t_all.elapsed)
             return arr[:, 0], arr[:, 1], arr[:, 2]
         with Timer() as t_all:
             with Timer() as t_dev:
@@ -692,17 +706,24 @@ class Pattern:
     def match_all_count(self, text: TextLike) -> int:
         t, corpus = _unwrap(text)
         if self._oracle:
-            return self._oracle.match_all_count(t.tobytes())
+            with Timer() as t_all:
+                cnt = self._oracle.match_all_count(t.tobytes())
+            self._record("match_all_count", len(t), cnt, 0.0, t_all.elapsed)
+            return cnt
         if self.engine == "literal" and self.info.overlap_free:
             # Pure device-side reduction; no span materialization.
-            n = len(t)
-            max_m = max(len(l) for l in self.info.literals)
-            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
-            ext = literal_kernel.extend_pad(t, P, max_m)
-            cnt = literal_kernel.literal_count_device(
-                jnp.asarray(ext), jnp.int32(n), lits=self.info.literals, P=P
-            )
-            return int(cnt)
+            with Timer() as t_all:
+                n = len(t)
+                max_m = max(len(l) for l in self.info.literals)
+                P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+                ext = literal_kernel.extend_pad(t, P, max_m)
+                cnt = int(literal_kernel.literal_count_device(
+                    jnp.asarray(ext), jnp.int32(n),
+                    lits=self.info.literals, P=P,
+                ))
+            self._record("match_all_count", len(t), cnt, t_all.elapsed,
+                         t_all.elapsed)
+            return cnt
         if self.engine in ("dfa", "classrun") and self.info.run_partition:
             # Elementwise selection makes the count a pure device
             # reduction over the (L, I) arrays (spans.partition_count).
@@ -738,7 +759,9 @@ class Pattern:
                     rolled=self._fused_rolled(),
                 )
                 return int(cnt)
-        return len(self.match_all_arrays(text)[0])
+        cnt = len(self.match_all_arrays(text)[0])
+        self.last_stats.op = "match_all_count"
+        return cnt
 
     # -- Streaming API (corpora larger than device memory) ------------------
 
@@ -774,6 +797,25 @@ class Pattern:
         per-chunk progress for resume after interruption
         (engine/stream.py). Returns (starts, ends, pids) int64 arrays.
         """
+        with Timer() as t_all:
+            out = self._match_all_stream_impl(
+                source, chunk_bytes=chunk_bytes, state_dir=state_dir,
+                progress=progress,
+            )
+        self._record(
+            "match_all_stream", len(self._stream_source(source)),
+            len(out[0]), 0.0, t_all.elapsed,
+        )
+        return out
+
+    def _match_all_stream_impl(
+        self,
+        source,
+        *,
+        chunk_bytes: int = 8 << 20,
+        state_dir: Optional[str] = None,
+        progress=None,
+    ):
         from .engine import stream
         from .kernels.dfa_pallas import CHUNK
 
@@ -825,7 +867,9 @@ class Pattern:
         )
 
     def match_all_count_stream(self, source, **kw) -> int:
-        return len(self.match_all_stream(source, **kw)[0])
+        cnt = len(self.match_all_stream(source, **kw)[0])
+        self.last_stats.op = "match_all_count_stream"
+        return cnt
 
     def _stream_first_kw(self, chunk_bytes: int) -> dict:
         """Window-scan kwargs: the fused kernel evaluates each doubling
@@ -892,14 +936,20 @@ class Pattern:
         size (engine/stream.py)."""
         from .engine import stream
 
-        if self._oracle:
-            return self._oracle.match_first(
-                bytes(self._stream_source(source).tobytes())
-            )
-        m = stream.stream_match_first(
-            self._dfa_tables(),
-            self._stream_source(source),
-            **self._first_kw_with_corpus(chunk_bytes, corpus),
+        with Timer() as t_all:
+            if self._oracle:
+                m = self._oracle.match_first(
+                    bytes(self._stream_source(source).tobytes())
+                )
+            else:
+                m = stream.stream_match_first(
+                    self._dfa_tables(),
+                    self._stream_source(source),
+                    **self._first_kw_with_corpus(chunk_bytes, corpus),
+                )
+        self._record(
+            "match_first_stream", len(self._stream_source(source)),
+            int(m is not None), 0.0, t_all.elapsed,
         )
         return None if m is None else (m[0], m[1])
 
@@ -908,30 +958,44 @@ class Pattern:
     ) -> bool:
         from .engine import stream
 
-        if self._oracle:
-            return self._oracle.match_anywhere(
-                bytes(self._stream_source(source).tobytes())
-            )
-        return stream.stream_match_anywhere(
-            self._dfa_tables(),
-            self._stream_source(source),
-            **self._first_kw_with_corpus(chunk_bytes, corpus),
+        with Timer() as t_all:
+            if self._oracle:
+                got = self._oracle.match_anywhere(
+                    bytes(self._stream_source(source).tobytes())
+                )
+            else:
+                got = stream.stream_match_anywhere(
+                    self._dfa_tables(),
+                    self._stream_source(source),
+                    **self._first_kw_with_corpus(chunk_bytes, corpus),
+                )
+        self._record(
+            "match_anywhere_stream", len(self._stream_source(source)),
+            int(got), 0.0, t_all.elapsed,
         )
+        return got
 
     def match_full_stream(
         self, source, *, chunk_bytes: int = 8 << 20
     ) -> bool:
         from .engine import stream
 
-        if self._oracle:
-            return self._oracle.match_full(
-                bytes(self._stream_source(source).tobytes())
-            )
-        return stream.stream_match_full(
-            self._dfa_tables(),
-            self._stream_source(source),
-            **self._stream_kw(chunk_bytes),
+        with Timer() as t_all:
+            if self._oracle:
+                got = self._oracle.match_full(
+                    bytes(self._stream_source(source).tobytes())
+                )
+            else:
+                got = stream.stream_match_full(
+                    self._dfa_tables(),
+                    self._stream_source(source),
+                    **self._stream_kw(chunk_bytes),
+                )
+        self._record(
+            "match_full_stream", len(self._stream_source(source)),
+            int(got), 0.0, t_all.elapsed,
         )
+        return got
 
     # -- Replace API --------------------------------------------------------
 
@@ -940,30 +1004,43 @@ class Pattern:
         engine has no captures, docs/SEMANTICS.md)."""
         t = text_to_u8(text)
         r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
-        if self.config.selection != "python":
-            from .native import lib as native
+        with Timer() as t_all:
+            got = None
+            if self.config.selection != "python":
+                from .native import lib as native
 
-            if native.has_replace_splice():
-                starts, ends, _ = self.match_all_arrays(t)
-                return native.replace_splice(t, starts, ends, r)
-        data = t.tobytes()
-        out = []
-        pos = 0
-        for s, e in self.match_all(t):
-            out.append(data[pos:s])
-            out.append(r)
-            pos = e
-        out.append(data[pos:])
-        return b"".join(out)
+                if native.has_replace_splice():
+                    starts, ends, _ = self.match_all_arrays(t)
+                    got = native.replace_splice(t, starts, ends, r)
+                    n_m = len(starts)
+            if got is None:
+                data = t.tobytes()
+                out = []
+                pos = 0
+                n_m = 0
+                for s, e in self.match_all(t):
+                    out.append(data[pos:s])
+                    out.append(r)
+                    pos = e
+                    n_m += 1
+                out.append(data[pos:])
+                got = b"".join(out)
+        self._record("replace", len(t), n_m,
+                     self.last_stats.device_time_s, t_all.elapsed)
+        return got
 
     def replace_first(self, text: TextLike, repl: Union[str, bytes]) -> bytes:
         t = text_to_u8(text)
         r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
-        data = t.tobytes()
-        m = self.match_first(t)
-        if m is None:
-            return data
-        return data[: m[0]] + r + data[m[1] :]
+        with Timer() as t_all:
+            data = t.tobytes()
+            m = self.match_first(t)
+            got = (
+                data if m is None else data[: m[0]] + r + data[m[1] :]
+            )
+        self._record("replace_first", len(t), int(m is not None),
+                     self.last_stats.device_time_s, t_all.elapsed)
+        return got
 
 
 @functools.lru_cache(maxsize=256)
