@@ -190,7 +190,11 @@ def run_configs(size_mb: float, which, engines="all"):
 
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
-        corpus = make_corpus(size, seed=2)
+        # Plant real matches: the word corpus contains NO \w+ing words, so
+        # the r1/r2 spans numbers measured extraction over an EMPTY
+        # candidate set (round-3 finding). 1% planted "matching" words
+        # gives ~17.7K matches per 10 MB.
+        corpus = make_corpus(size, seed=2, needle=b"matching", density=0.01)
         n = len(corpus)
         text = np.frombuffer(corpus, dtype=np.uint8)
         p = Pattern(r"\b\w+ing\b", _dfa_cfg())
@@ -224,16 +228,18 @@ def run_configs(size_mb: float, which, engines="all"):
             block=K3, chl=CHL3,
         )
         mx3 = int(spans3.row_max_count(L3))
-        cap3 = 8
+        cap3 = 2
         while cap3 < mx3:
-            cap3 *= 4
+            cap3 *= 2
+        wmax3 = int(spans3.max_width(L3))
+        ebits3 = (256 + wmax3).bit_length()
 
         def step3s(nv):
-            L, I = sp3.l_arrays_device_staged(
+            L, _ = sp3.l_arrays_device_staged(
                 st3, p.tables.n_patterns, staged3, nv, block=K3, chl=CHL3
             )
-            s_, e_, pid_, cnt_ = spans3.extract_rows_device(
-                L, I, row_cap=cap3
+            s_, e_, cnt_ = spans3.extract_rows_packed(
+                L, row_cap=cap3, ebits=ebits3
             )
             v = s_ >= 0
             return (
@@ -242,8 +248,15 @@ def run_configs(size_mb: float, which, engines="all"):
                 + jnp.sum(cnt_, dtype=jnp.int32)
             )
 
+        # parity: device extraction checksum == the public API's spans
+        s3h, e3h, _ = p.match_all_arrays(text)
+        want3 = int(
+            (np.sum(s3h) + np.sum(e3h) + len(s3h)) & 0xFFFFFFFF
+        )
+        got3 = int(step3s(jnp.int32(n))) & 0xFFFFFFFF
+        assert got3 == want3, (got3, want3)
         report("config3_fused_spans_e2e", tchain(step3s, n), n,
-               f"cap {cap3}")
+               f"cap {cap3}, {len(s3h)} matches, checksum==host")
         report("config3_sch_wb_ing",
                tchain(_schain_step(p, text, jax, jnp), n), n,
                f"Q={p.tables.n_states}")

@@ -136,4 +136,29 @@ int64_t rtn_replace_splice(const uint8_t* text, int64_t n,
   o += n - pos;
   return o;
 }
+
+// Per-pattern replacement splice: span i is replaced by the pattern-id-
+// selected replacement reps[rep_off[pids[i]] .. +rep_len[pids[i]]).
+// One pass over the text regardless of how many patterns are involved
+// (the regexdna IUB phase runs 11 single-class patterns this way instead
+// of 11 sequential Replace passes).
+int64_t rtn_replace_splice_multi(const uint8_t* text, int64_t n,
+                                 const int64_t* starts, const int64_t* ends,
+                                 const int64_t* pids, int64_t k,
+                                 const uint8_t* reps, const int64_t* rep_off,
+                                 const int64_t* rep_len, uint8_t* out) {
+  int64_t o = 0, pos = 0;
+  for (int64_t i = 0; i < k; i++) {
+    int64_t s = starts[i], e = ends[i];
+    memcpy(out + o, text + pos, (size_t)(s - pos));
+    o += s - pos;
+    int64_t pid = pids[i];
+    memcpy(out + o, reps + rep_off[pid], (size_t)rep_len[pid]);
+    o += rep_len[pid];
+    pos = e;
+  }
+  memcpy(out + o, text + pos, (size_t)(n - pos));
+  o += n - pos;
+  return o;
+}
 }  // extern "C"

@@ -30,6 +30,7 @@ from .api import (  # noqa: F401
     match_full,
     replace,
     replace_all,
+    replace_each,
     replace_first,
     stage,
 )

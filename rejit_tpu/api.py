@@ -1029,6 +1029,48 @@ class Pattern:
                      self.last_stats.device_time_s, t_all.elapsed)
         return got
 
+    def replace_each(
+        self, text: TextLike, repls: Sequence[Union[str, bytes]]
+    ) -> bytes:
+        """Replace each match with the replacement for its pattern id
+        (multi-pattern extension of Replace: one pass over the text for
+        the whole pattern list — the regexdna IUB phase is the canonical
+        use, SURVEY.md §2.1/C12)."""
+        t = text_to_u8(text)
+        rs = [
+            r.encode("utf-8") if isinstance(r, str) else bytes(r)
+            for r in repls
+        ]
+        if len(rs) != len(self.irs):
+            raise ValueError(
+                f"need {len(self.irs)} replacements, got {len(rs)}"
+            )
+        with Timer() as t_all:
+            starts, ends, pids = self.match_all_arrays(t)
+            got = None
+            if self.config.selection != "python":
+                from .native import lib as native
+
+                if native.has_replace_splice_multi():
+                    got = native.replace_splice_multi(
+                        t, starts, ends, pids, rs
+                    )
+            if got is None:
+                data = t.tobytes()
+                out = []
+                pos = 0
+                for s, e, pid in zip(
+                    starts.tolist(), ends.tolist(), pids.tolist()
+                ):
+                    out.append(data[pos:s])
+                    out.append(rs[pid])
+                    pos = e
+                out.append(data[pos:])
+                got = b"".join(out)
+        self._record("replace_each", len(t), len(starts),
+                     self.last_stats.device_time_s, t_all.elapsed)
+        return got
+
     def replace_first(self, text: TextLike, repl: Union[str, bytes]) -> bytes:
         t = text_to_u8(text)
         r = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
@@ -1086,6 +1128,10 @@ def replace(pattern, text, repl, config: Config = DEFAULT) -> bytes:
 
 def replace_first(pattern, text, repl, config: Config = DEFAULT) -> bytes:
     return compile(pattern, config).replace_first(text, repl)
+
+
+def replace_each(patterns, text, repls, config: Config = DEFAULT) -> bytes:
+    return compile(patterns, config).replace_each(text, repls)
 
 
 # rejit names the all-spans variant ReplaceAll (rejit:include/rejit.h,

@@ -110,19 +110,63 @@ def literal_value(re: ir.Re) -> Optional[bytes]:
     return None
 
 
-def alt_literals(re: ir.Re) -> Optional[List[bytes]]:
-    """Pattern == alternation of plain literals? Returns them in order."""
-    v = literal_value(re)
-    if v is not None:
-        return [v]
-    if isinstance(re, ir.Alt):
-        out = []
-        for o in re.options:
-            v = literal_value(o)
-            if v is None:
-                return None
+def alt_literals(re: ir.Re, budget: int = 16) -> Optional[List[bytes]]:
+    """Pattern matches a small finite set of literals? Returns them.
+
+    Expands alternations, concatenations, fixed repeats, AND small char
+    classes ([Bb] -> b"B", b"b") up to `budget` (16) total strings, so e.g.
+    single-character class patterns route to the shifted-compare literal
+    engine (measured 280-557 GB/s) instead of compiling a DFA kernel —
+    the regexdna IUB codes are exactly this shape (SURVEY.md §2.1/C12).
+    """
+    vs = _finite_language(re, budget)
+    if not vs:
+        return None
+    # Drop duplicates, keep first-occurrence order (tie rules unaffected:
+    # duplicates denote the same match).
+    seen = set()
+    out = []
+    for v in vs:
+        if v not in seen:
+            seen.add(v)
             out.append(v)
+    return out
+
+
+def _finite_language(re: ir.Re, budget: int) -> Optional[List[bytes]]:
+    """All strings the pattern matches, if that set is finite, non-empty,
+    contains no empty string, and has at most `budget` members."""
+    if isinstance(re, ir.Lit):
+        return [re.data] if re.data else None
+    if isinstance(re, ir.CharClass):
+        bs = [bytes([b]) for b in range(256) if (re.bitmap >> b) & 1]
+        return bs if 0 < len(bs) <= budget else None
+    if isinstance(re, ir.Cat):
+        out = [b""]
+        for p in re.parts:
+            vs = _finite_language(p, budget)
+            if vs is None or len(out) * len(vs) > budget:
+                return None
+            out = [a + v for a in out for v in vs]
+        return out if out and all(out) else None
+    if isinstance(re, ir.Alt):
+        out: List[bytes] = []
+        for o in re.options:
+            vs = _finite_language(o, budget)
+            if vs is None or len(out) + len(vs) > budget:
+                return None
+            out.extend(vs)
         return out
+    if isinstance(re, ir.Rep) and re.lo == re.hi and re.lo >= 1:
+        base = _finite_language(re.child, budget)
+        if base is None:
+            return None
+        out = [b""]
+        for _ in range(re.lo):
+            if len(out) * len(base) > budget:
+                return None
+            out = [a + v for a in out for v in base]
+        return out if out and all(out) else None
     return None
 
 

@@ -46,6 +46,14 @@ def _bucket_cap(c: int) -> int:
     return cap
 
 
+@jax.jit
+def max_width(L: jnp.ndarray) -> jnp.ndarray:
+    """Largest match width among candidates (0 when none): sizes the
+    packed-key extraction's end-offset bits for unbounded patterns."""
+    pos = jnp.arange(L.shape[0], dtype=jnp.int32)
+    return jnp.max(jnp.where(L >= 0, L - pos, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("row_w",))
 def row_max_count(L: jnp.ndarray, *, row_w: int = 256) -> jnp.ndarray:
     """Max candidates in any row_w-boundary row (for row_cap sizing)."""
@@ -247,10 +255,18 @@ def candidates_host(
         return pos, L[pos], I[pos]
     row_w = 256
     mx = int(row_max_count(L_dev, row_w=row_w))
-    cap = 8
+    # Tight x2 cap bucketing: extraction cost is `cap` rounds over the
+    # whole array, so cap=4 vs the old floor of 8 halves the dominant
+    # constant (measured 9.5 -> 13.8 GB/s on config 3, round 3); the
+    # extra shape buckets are one-time compiles (persistent cache).
+    cap = 2
     while cap < mx:
-        cap *= 4
+        cap *= 2
     cap = min(cap, row_w)
+    if n_patterns == 1 and max_w is None:
+        # Unbounded pattern: bound the width by measurement (two-phase,
+        # like row_max_count) so the packed-key extraction still applies.
+        max_w = int(max_width(L_dev))
     if (
         n_patterns == 1
         and max_w is not None

@@ -87,6 +87,22 @@ def _load() -> Optional[ctypes.CDLL]:
         except AttributeError:
             # .so built before this symbol existed; python fallback used.
             pass
+        try:
+            lib.rtn_replace_splice_multi.restype = ctypes.c_int64
+            lib.rtn_replace_splice_multi.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # text
+                ctypes.c_int64,                   # n
+                ctypes.POINTER(ctypes.c_int64),   # starts
+                ctypes.POINTER(ctypes.c_int64),   # ends
+                ctypes.POINTER(ctypes.c_int64),   # pids
+                ctypes.c_int64,                   # k
+                ctypes.POINTER(ctypes.c_uint8),   # reps (concat)
+                ctypes.POINTER(ctypes.c_int64),   # rep_off
+                ctypes.POINTER(ctypes.c_int64),   # rep_len
+                ctypes.POINTER(ctypes.c_uint8),   # out
+            ]
+        except AttributeError:
+            pass
         _LIB = lib
     except OSError:
         _LIB = None
@@ -209,6 +225,45 @@ def dfa_longest(
 def has_replace_splice() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "rtn_replace_splice")
+
+
+def has_replace_splice_multi() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rtn_replace_splice_multi")
+
+
+def replace_splice_multi(
+    text: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    pids: np.ndarray,
+    reps,
+) -> bytes:
+    """C++ splice with a per-pattern replacement (reps[pid] per span)."""
+    lib = _load()
+    assert lib is not None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    pid = np.ascontiguousarray(pids, dtype=np.int64)
+    rep_len = np.array([len(r) for r in reps], dtype=np.int64)
+    rep_off = np.concatenate([[0], np.cumsum(rep_len)[:-1]]).astype(np.int64)
+    cat = b"".join(reps)
+    reps_b = np.frombuffer(cat, dtype=np.uint8)
+    if len(reps_b) == 0:
+        reps_b = np.zeros(1, dtype=np.uint8)
+    k = len(s)
+    out_n = len(t) + int(np.sum(rep_len[pid])) - int(np.sum(e - s))
+    out = np.empty(max(out_n, 1), dtype=np.uint8)
+    p = lambda a, ty: a.ctypes.data_as(ctypes.POINTER(ty))
+    wrote = lib.rtn_replace_splice_multi(
+        p(t, ctypes.c_uint8), len(t), p(s, ctypes.c_int64),
+        p(e, ctypes.c_int64), p(pid, ctypes.c_int64), k,
+        p(reps_b, ctypes.c_uint8), p(rep_off, ctypes.c_int64),
+        p(rep_len, ctypes.c_int64), p(out, ctypes.c_uint8),
+    )
+    assert wrote == out_n, (wrote, out_n)
+    return out[:out_n].tobytes()
 
 
 def replace_splice(
