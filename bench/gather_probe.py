@@ -16,12 +16,15 @@ fused kernel would use it:
                  per iter (the packed select-chain inner loop's shape) for
                  an apples-to-apples op-rate comparison on the same probe.
 
-Decision rule (NOTES "Still open"): per byte the gather form needs
-ceil(blocks/8) gathers vs the select form's ~Q*ceil(Q/8)/CHL vreg-rows per
-block; gather wins iff rate(gather) / rate(select-row) > 128 / (Q*ceil(Q/8)/8)
-... i.e. for Q=128 the select form spends ~2048 vreg-row ops per 128 blocks
-per byte while the gather form spends 16 gathers — gather wins if one
-gather costs less than ~128 select-rows.
+Decision rule (NOTES "Still open"), worked at Q=128, CHL=128: per byte
+the select form spends ~Q*ceil(Q/8) = 2048 vreg-row ops on 1024 blocks
+while the gather form spends ceil(1024/8) = 128 gathers, i.e. 16 gathers
+per 128 blocks vs 2048 select-rows — gather wins iff one gather costs
+less than 2048/16 = 128 select-rows, i.e. rate(gather)/rate(select-row)
+> 16/(Q*ceil(Q/8)) at CHL=128. The full byte-step additionally carries a
+ceil(C*Q/128) class factor (bench/NOTES.md byte-step arithmetic). Both
+rates must come from the SAME regime (serially-dependent, as this probe
+measures) — see NOTES "regime assumption".
 
 Usage: python bench/gather_probe.py [--iters N] [--u U] [--mode serial|select]
        [--qs QS] [--cpu]
@@ -122,8 +125,13 @@ def main():
     else:
         log(f"per-call {sec*1e6:.1f} us  | {ops*QS/sec/1e9:.3f} G select-rows/s "
             f"| {ops*QS*1024/sec/1e9:.2f} G selected-elem/s")
+    # JSON: vreg_ops_per_sec is mode-correct (select mode counts the QS
+    # selects per iteration, matching the stderr log) and records qs so
+    # modes can be compared (ADVICE r2).
+    mode_ops = ops * (QS if args.mode == "select" else 1)
     print(f'{{"mode": "{args.mode}", "u": {U}, "iters": {ITERS}, '
-          f'"sec_per_call": {sec}, "vreg_ops_per_sec": {ops/sec}}}')
+          f'"qs": {QS if args.mode == "select" else 0}, '
+          f'"sec_per_call": {sec}, "vreg_ops_per_sec": {mode_ops/sec}}}')
 
 
 if __name__ == "__main__":
