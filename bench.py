@@ -91,7 +91,7 @@ def measure_child() -> dict:
     assert got == expected, (got, expected)
     log(f"matches: {got} (verified)")
 
-    def slope(chain_fn, check):
+    def slope(chain_fn, check, rounds_out=None):
         def timed(reps, k=3):
             ts = []
             for _ in range(k):
@@ -133,15 +133,25 @@ def measure_child() -> dict:
                 f"  round {rnd}: t({R1})={t1*1e3:.1f}ms t({R2})={t2*1e3:.1f}ms "
                 f"slope={per_call*1e6:.1f}us amort={amortized*1e6:.1f}us"
             )
+            if rounds_out is not None:
+                # Raw per-window evidence (VERDICT r2 weak #8): keep every
+                # round's endpoints, not just the best, so a regression is
+                # distinguishable from a degraded tunnel window.
+                rounds_out.append(
+                    {"R1": R1, "R2": R2, "t1_s": t1, "t2_s": t2,
+                     "slope_s": per_call, "amortized_s": amortized}
+                )
             best = eff if best is None else min(best, eff)
         return best
 
     log("count MatchAll (secondary):")
+    raw_rounds = {"count": [], "spans": []}
     best_count = slope(
         lambda reps: chain(n_dev, reps=reps),
         lambda r: None if r == expected else (_ for _ in ()).throw(
             AssertionError((r, expected))
         ),
+        rounds_out=raw_rounds["count"],
     )
     count_bps = n / best_count
 
@@ -160,9 +170,9 @@ def measure_child() -> dict:
 
     L, I = l_i(n_dev)
     mx = int(spans_mod.row_max_count(L, row_w=ROW_W))
-    cap = 8
+    cap = 2
     while cap < mx:
-        cap *= 4
+        cap *= 2
     assert p.info.overlap_free and p.info.max_len is not None
     EBITS = (ROW_W + p.info.max_len).bit_length()
     s_d, e_d, cnts = spans_mod.extract_rows_packed(
@@ -214,6 +224,7 @@ def measure_child() -> dict:
         lambda r: None if r == exp_int else (_ for _ in ()).throw(
             AssertionError((r, exp_int))
         ),
+        rounds_out=raw_rounds["spans"],
     )
     bps = n / best_spans
     log(
@@ -236,6 +247,7 @@ def measure_child() -> dict:
                 "vs_baseline": bps / TARGET,
                 "count_value": count_bps,
                 "n_matches": k,
+                "raw_rounds": raw_rounds,
             }
         )
     )
