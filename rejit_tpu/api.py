@@ -413,6 +413,20 @@ class Pattern:
             )
         return staged, n, fblock, fchl
 
+    def _fused_chunk_bytes(self) -> int:
+        """Largest streaming chunk the fused kernel can hold for this Q
+        (multiple of the kernel grain, chunk + grain <= max_p; 0 = none).
+        Texts beyond max_p route through chunked-fused streaming instead
+        of the XLA select-chain, which collapses at large Q (measured
+        0.01 GB/s at Q=134 vs 0.66 rolled — bench/NOTES.md round 3)."""
+        from .kernels import schain_pallas
+
+        fblock, fchl = self._fused_params()
+        grain = fblock * 8 * fchl
+        mp = schain_pallas.max_p(self.tables.n_states)
+        k = (mp - grain) // grain
+        return max(0, k) * grain
+
     def _fused_params(self):
         """(K, CHL) for the fused kernel: config override or the measured
         v5e optimum K=128, CHL=128 (bench/NOTES.md round-2 matrix); under
@@ -657,6 +671,25 @@ class Pattern:
             self._record("match_all", len(t), len(triples), 0.0,
                          t_all.elapsed)
             return arr[:, 0], arr[:, 1], arr[:, 2]
+        if (
+            self.engine == "dfa"
+            and self.tables is not None
+            and corpus is None
+            and self._use_schain_fused()
+        ):
+            # Text too large for one fused call at this Q? Chunked-fused
+            # streaming is exact and far faster than the XLA select-chain
+            # fallthrough at large Q (see _fused_chunk_bytes).
+            fblock, fchl = self._fused_params()
+            grain = fblock * 8 * fchl
+            from .kernels import schain_pallas
+
+            P = _bucket_blocks(max(1, -(-len(t) // grain))) * grain
+            cb = self._fused_chunk_bytes()
+            if P > schain_pallas.max_p(self.tables.n_states) and cb > 0:
+                out = self.match_all_stream(t, chunk_bytes=cb)
+                self.last_stats.op = "match_all"
+                return out
         with Timer() as t_all:
             with Timer() as t_dev:
                 L, I = self._l_i_device(t, corpus=corpus)

@@ -61,13 +61,16 @@ MAX_Q = 64          # UNROLLED-form state cap: its trace is
 # (a Q=18 kernel at the default geometry did not compile in 900 s;
 # Q=82 didn't in 14 min — bench/NOTES.md "large-Q").
 
-MAX_Q_ROLLED = 128  # ROLLED-form cap = the packed-algebra bound: f takes
-# ceil(log2 Q) bits below the sign bit, so Q=128 leaves 24 position bits
-# (16 MB/call; larger corpora go sharded/streaming). The rolled form
-# traces ~2*Q^2 ops total (fori_loop levels, scratch-band combine, SMEM
-# dynamic-index carry) — measured cold compiles on v5e: 19 s at Q=18,
-# 289 s at Q=50, >560 s at Q=82 (bench/NOTES.md), so the cap is a
-# correctness bound; expect multi-minute one-time compiles at the top.
+MAX_Q_ROLLED = 256  # ROLLED-form cap = the packed-algebra bound: f takes
+# ceil(log2 Q) bits below the sign bit; Q=256 leaves 23 position bits
+# (8 MB/call; larger texts go through chunked-fused streaming — see
+# api._fused_chunk_bytes). Round-3 fresh-key compile measurements killed
+# the round-2 "compile wall" theory: Q=50 compiled in 18.5 s, Q=82 in
+# 9.3 s, Q=126 in 11.5 s, Q=134 in ~60 s — the r2 multi-minute walls
+# were degraded tunnel-compile windows, not Mosaic scaling
+# (bench/NOTES.md round-3 "large-Q knee re-measured"). Throughput falls
+# with the packed row count: 10.1 (Q=18), 4.9 (Q=35), 2.9 (Q=50),
+# 1.37 (Q=82), 0.71 (Q=126), 0.66 (Q=134) GB/s.
 
 AUTO_MAX_Q = 16     # auto-engine compile-knee gate: a Q=18 kernel at the
 # default K=128/CHL=128 geometry did not finish Mosaic compilation in
@@ -75,12 +78,13 @@ AUTO_MAX_Q = 16     # auto-engine compile-knee gate: a Q=18 kernel at the
 # ~1 min. Auto selection stays at/below this; schain_fused='on' may go
 # to MAX_Q (unrolled) / MAX_Q_ROLLED (rolled).
 
-AUTO_MAX_Q_ROLLED = 32  # auto gate for the ROLLED form: measured cold
-# compiles on v5e (bench/NOTES.md "rolled form measured on-chip") are
-# 19 s at Q=18 and 289 s at Q=50; the gate sits where a one-time cold
-# compile stays comparable to the Q<=16 unrolled kernels (~1 min) and
-# the measured throughput (10 GB/s at Q=18) is 6-25x the XLA
-# select-chain fallback. schain_fused='on' reaches MAX_Q_ROLLED.
+AUTO_MAX_Q_ROLLED = 256  # auto gate for the ROLLED form = the cap:
+# round-3 measurements (fresh cache keys, good tunnel window) put cold
+# compiles at 9-115 s across Q=35..134 and rolled throughput ABOVE the
+# XLA select-chain fallback at every Q — 2.9 vs ~0.4 at Q=50 and 0.66
+# vs 0.01 at Q=134 (the XLA form collapses at large Q) — so auto always
+# prefers the rolled fused kernel; the one-time compile cost is bounded
+# by the tunnel window, not Q, and the persistent cache amortizes it.
 
 _NEG = -(1 << 31) + 1
 

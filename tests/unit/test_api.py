@@ -61,9 +61,15 @@ def test_fused_auto_gate_large_q(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cases = [
         (r"\b\w+ing\b", 6, True, False),        # production Q: unrolled
-        (r"\b[a-z]{8,16}\b", 18, True, True),   # knee < Q <= rolled knee
-        (r"\b[a-z]{16,30}\b", 32, True, True),  # exactly AUTO_MAX_Q_ROLLED
-        (r"\b[a-z]{24,48}\b", 50, False, True), # beyond: XLA select-chain
+        (r"\b[a-z]{8,16}\b", 18, True, True),   # knee < Q: rolled
+        (r"\b[a-z]{16,30}\b", 32, True, True),  # rolled
+        # Round 3: the r2 "compile wall" above Q=32 was a degraded
+        # tunnel-compile window (fresh-key measurements: 9-115 s across
+        # Q=35..134) and rolled throughput beats the XLA select-chain at
+        # every Q (0.66 vs 0.01 GB/s at Q=134), so auto now stays on the
+        # rolled fused kernel through MAX_Q_ROLLED = 256.
+        (r"\b[a-z]{24,48}\b", 50, True, True),
+        (r"\b[a-z]{62,124}\b", 126, True, True),
     ]
     for pat, q, want_fused, want_rolled in cases:
         p = Pattern(pat)
@@ -71,7 +77,7 @@ def test_fused_auto_gate_large_q(monkeypatch):
         assert p._use_schain_fused() == want_fused, pat
         if want_fused:
             assert p._fused_rolled() == want_rolled, pat
-    assert AUTO_MAX_Q == 16 and AUTO_MAX_Q_ROLLED == 32
+    assert AUTO_MAX_Q == 16 and AUTO_MAX_Q_ROLLED == 256
     # schain_fused='on' still reaches large Q (rolled by default there);
     # schain_rolled='off' confines auto to the unrolled knee.
     p = Pattern(r"\b[a-z]{24,48}\b", Config(schain_fused="on"))
