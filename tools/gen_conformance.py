@@ -230,6 +230,22 @@ add(r"[A-Za-z]{30,60}ing",
     + b"ing",
     "Q=152 beyond fused MAX_Q (XLA engine only)")
 
+# Round-3 additions: DFA-blowup fallback patterns (the oracle fallback
+# must return identical spans through the public API — api._blowup
+# _fallback) and bounded quantifiers at the raised rolled-kernel bounds
+# (Q up to MAX_Q_ROLLED = 256; auto engine rolled-fused on TPU, XLA
+# select-chain on CPU CI — all paths must agree with the oracle).
+add(r"(a|b)*a(a|b){9}",
+    b"abbaabbabababbaaab mbba bbbbbbbbbbab aaaaaaaaaaaa",
+    "DFA blowup: oracle fallback (Q ~ 2^10)")
+add(r"\b[a-z]{62,124}\b",
+    b"x " + b"q" * 80 + b" " + b"r" * 61 + b" " + b"s" * 124 + b"."
+    + b"t" * 125,
+    "Q=126 bounded quantifier (rolled auto range)")
+add(r"\b[a-z]{66,132}\b",
+    b"m" * 132 + b" " + b"n" * 65 + b" " + b"o" * 100,
+    "Q=134 above the old 128 cap")
+
 # Binary-safe scanning: NUL and high bytes are ordinary input bytes.
 add(r"\w+", b"ab\x00cd\x00\x00ef", "NUL bytes split words")
 add("a", b"\x00a\x00a\x00", "literal among NULs")
