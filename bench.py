@@ -126,9 +126,14 @@ def measure_child() -> dict:
             t2 = timed(R2)
             per_call = (t2 - t1) / (R2 - R1)
             amortized = t2 / R2  # upper bound on per-call incl. RTT share
-            # Slope can go <=0 from RTT noise; the amortized time is then
-            # the honest (conservative) answer.
-            eff = per_call if per_call > 0 else amortized
+            # Slope can go <=0 (or collapse toward zero when RTT dominates
+            # both endpoints) from tunnel noise; the amortized time is
+            # then the honest (conservative) answer.
+            eff = (
+                per_call
+                if per_call > 0 and (t2 - t1) >= 0.2 * t2
+                else amortized
+            )
             log(
                 f"  round {rnd}: t({R1})={t1*1e3:.1f}ms t({R2})={t2*1e3:.1f}ms "
                 f"slope={per_call*1e6:.1f}us amort={amortized*1e6:.1f}us"

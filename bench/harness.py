@@ -65,13 +65,17 @@ def tchain(step, n, rounds=3):
         int(chain(nv, reps=reps))
         return time.perf_counter() - a
 
-    # Adaptive sizing by doubling: stop before any single program exceeds
-    # ~0.7s — the tunneled worker kills (crashes on) programs that run for
-    # more than a few seconds, which a fixed large R hits when the body is
-    # slower than estimated. Each t() call here is also the shape's compile.
+    # Adaptive sizing by doubling: stop before any single program's
+    # DEVICE time exceeds ~0.7s — the tunneled worker kills (crashes on)
+    # programs that run for more than a few seconds. Size on the BODY
+    # estimate (tR minus the first call's RTT floor), not the wall: in a
+    # high-RTT window the wall is dispatch latency and sizing on it
+    # stalls at tiny R, leaving no slope signal (observed: the 19 us/call
+    # literal count "measuring" 1.4 ms/call amortized at R=16).
     R, tR = 16, t(16)
+    rtt0 = tR
     pairs = [(R, tR)]
-    while R < 16384 and tR < 0.7:
+    while R < 16384 and max(tR - rtt0, 0.0) < 0.7 and tR < 8.0:
         R *= 2
         tR = t(R)
         pairs.append((R, tR))
@@ -84,7 +88,13 @@ def tchain(step, n, rounds=3):
     for _ in range(rounds):
         t1, t2 = t(R1), t(R2)
         per = (t2 - t1) / (R2 - R1)
-        if per <= 0:  # RTT noise swamped the slope; amortized upper bound
+        # Degraded-window guard: when the tunnel RTT dominates BOTH
+        # endpoints, t2-t1 is noise around zero and the slope yields
+        # absurd rates (observed: a 0.6 ms/call program "measuring"
+        # 1114 GB/s). Demand real signal — the body must account for at
+        # least 20% of t2 — else fall back to the amortized upper bound
+        # (honest, conservative).
+        if per <= 0 or (t2 - t1) < 0.2 * t2:
             per = t2 / R2
         best = per if best is None else min(best, per)
     return best
