@@ -187,14 +187,15 @@ def run_configs(size_mb: float, which, engines="all"):
         pc = Pattern("[a-z]+", Config(engine="classrun"))
         from rejit_tpu.kernels import classrun as crk
 
-        lut, lo, hi = pc._classrun
+        lut, wlut, lo, hi, lead_wb, trail_wb = pc._classrun
         P2 = ((n + 1023) // 1024) * 1024
         pad2 = np.zeros(P2, dtype=np.uint8)
         pad2[:n] = text
         td2 = jax.device_put(jnp.asarray(pad2))
         nd2 = jnp.int32(n)
         step_cr = lambda nv: crk.classrun_l_arrays_device(
-            lut, td2, nv, lo=lo, has_hi=hi is not None, hi=hi or 0
+            lut, wlut, td2, nv, lo=lo, has_hi=hi is not None, hi=hi or 0,
+            lead_wb=lead_wb, trail_wb=trail_wb
         )[0].max()
         report("config2_classrun_[a-z]+", tchain(step_cr, n), n)
 
@@ -218,6 +219,57 @@ def run_configs(size_mb: float, which, engines="all"):
             report("config3_fused_rolled_wb_ing",
                    tchain(_fused_step(p, text, jax, jnp, rolled=True), n),
                    n, f"Q={p.tables.n_states} rolled")
+        # Large-Q bounded-run family via the classrun engine (the auto
+        # route for \b[class]{lo,hi}\b with hi+2 >= 48: Q-independent,
+        # vs the rolled kernel's ~Q^1.5 falloff — 0.71 GB/s at Q=126).
+        from rejit_tpu.kernels import classrun as crk3
+
+        plq = Pattern(r"\b[a-z]{62,124}\b", Config(engine="classrun"))
+        lutq, wlutq, loq, hiq, leadq, trailq = plq._classrun
+        Pq = ((n + 1023) // 1024) * 1024
+        padq = np.zeros(Pq, dtype=np.uint8)
+        padq[:n] = text
+        tdq = jax.device_put(jnp.asarray(padq))
+
+        def step_lq(nv):
+            L, _ = crk3.classrun_l_arrays_device(
+                lutq, wlutq, tdq, nv, lo=loq, has_hi=True, hi=hiq,
+                lead_wb=leadq, trail_wb=trailq,
+            )
+            return jnp.sum(jnp.where(L >= 0, L, 0), dtype=jnp.int32)
+
+        # parity on a slice: device L checksum == oracle-backed API spans
+        import re as _re
+        sliceq = corpus[: 1 << 16]
+        want_q = [
+            (m.start(), m.end())
+            for m in _re.finditer(rb"\b[a-z]{62,124}\b", sliceq)
+        ]
+        assert plq.match_all(sliceq) == want_q
+        report("config3_classrun_largeq", tchain(step_lq, n), n,
+               "Q=126-equivalent \\b[a-z]{62,124}\\b via classrun")
+        # Run+literal-suffix family ([A-Za-z]{30,60}ing -> Q=152 DFA)
+        # via the classlit engine (segmented reverse max + sliding
+        # window max, Q-independent).
+        from rejit_tpu.kernels import classlit as clk3
+
+        pll = Pattern(r"[A-Za-z]{30,60}ing", Config(engine="classlit"))
+        lutl, wlutl, lol, hil, sfxl, leadl, traill = pll._classlit
+
+        def step_ll(nv):
+            L, _ = clk3.classlit_l_arrays_device(
+                lutl, wlutl, tdq, nv, lo=lol, has_hi=True, hi=hil,
+                sfx=sfxl, lead_wb=leadl, trail_wb=traill,
+            )
+            return jnp.sum(jnp.where(L >= 0, L, 0), dtype=jnp.int32)
+
+        want_l = [
+            (m.start(), m.end())
+            for m in _re.finditer(rb"[A-Za-z]{30,60}ing", sliceq)
+        ]
+        assert pll.match_all(sliceq) == want_l
+        report("config3_classlit_largeq", tchain(step_ll, n), n,
+               "Q=152-equivalent [A-Za-z]{30,60}ing via classlit")
         # Spans-out end-to-end: fused L/I -> gather-free row extraction ->
         # checksum (the general-DFA analog of the bench.py headline).
         from rejit_tpu.engine import schain as se3, spans as spans3

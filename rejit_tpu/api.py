@@ -160,11 +160,31 @@ class Pattern:
         self._oracle = None
         self.last_stats: MatchStats = MatchStats()
         if self.engine == "classrun":
-            bitmap, lo, hi = classrun_kernel.detect(self.irs[0])
+            bitmap, lo, hi, lead_wb, trail_wb = classrun_kernel.detect(
+                self.irs[0]
+            )
             self._classrun = (
                 jnp.asarray(classrun_kernel.member_lut(bitmap)),
+                jnp.asarray(classrun_kernel.member_lut(ir_mod.WORD)),
                 lo,
                 hi,
+                lead_wb,
+                trail_wb,
+            )
+        if self.engine == "classlit":
+            from .kernels import classlit as classlit_kernel
+
+            (bitmap, lo, hi, sfx, lead_wb, trail_wb) = (
+                classlit_kernel.detect(self.irs[0])
+            )
+            self._classlit = (
+                jnp.asarray(classrun_kernel.member_lut(bitmap)),
+                jnp.asarray(classrun_kernel.member_lut(ir_mod.WORD)),
+                lo,
+                hi,
+                sfx,
+                lead_wb,
+                trail_wb,
             )
         if self.engine == "dfa":
             try:
@@ -253,7 +273,8 @@ class Pattern:
         cfg = self.config
         if cfg.engine is not None:
             eng = cfg.engine
-            if eng not in ("literal", "classrun", "dfa", "oracle"):
+            if eng not in ("literal", "classrun", "classlit", "dfa",
+                           "oracle"):
                 raise CompileError(f"unknown engine {eng!r}")
             if eng == "literal" and not self.info.literals:
                 raise CompileError(
@@ -264,24 +285,71 @@ class Pattern:
                 len(self.irs) == 1 and classrun_kernel.detect(self.irs[0])
             ):
                 raise CompileError(
-                    "pattern is not a single char-class repetition; cannot "
-                    "force the classrun engine"
+                    "pattern is not a (\\b-wrapped) char-class repetition; "
+                    "cannot force the classrun engine"
                 )
+            if eng == "classlit":
+                from .kernels import classlit as classlit_kernel
+
+                if not (
+                    len(self.irs) == 1
+                    and classlit_kernel.detect(self.irs[0])
+                ):
+                    raise CompileError(
+                        "pattern is not a (\\b-wrapped) char-class "
+                        "repetition + literal suffix; cannot force the "
+                        "classlit engine"
+                    )
             return eng
         if self.info.literals:
             return "literal"
-        if len(self.irs) == 1 and classrun_kernel.detect(self.irs[0]):
-            import jax
+        if len(self.irs) == 1:
+            cr = classrun_kernel.detect(self.irs[0])
+            if cr:
+                import jax
 
-            # On accelerators the fused select-chain DFA measured 17x the
-            # classrun specialization (48 vs 2.8 GB/s on [a-z]+,
-            # bench/results_r2_fast.json), so the DFA ladder wins; classrun
-            # stays the CPU auto choice and an explicit engine option.
-            if jax.default_backend() in ("cpu",):
-                return "classrun"
-            if self.config.schain_fused != "off":
+                _, _, hi, _, _ = cr
+                if jax.default_backend() in ("cpu",):
+                    return "classrun"
+                if self.config.schain_fused == "off":
+                    return "classrun"
+                if self.config.schain_fused == "on":
+                    return "dfa"  # explicit fused-DFA opt-in
+                # On accelerators the fused select-chain DFA beats the
+                # classrun formulation at small Q (48 vs 2.8 GB/s on
+                # [a-z]+) but its rolled form falls ~Q^1.5 while classrun
+                # is Q-independent: measured crossover near Q~50 (rolled
+                # 2.9 GB/s at Q=50, 0.71 at Q=126; classrun measured
+                # 2.78 GB/s at the Q=126-equivalent pattern —
+                # bench/NOTES.md "large-Q knee"). Bounded runs have
+                # Q ~ hi+2, so route hi >= 46 to classrun; unbounded
+                # runs stay on the DFA.
+                if hi is not None and hi + 2 >= 48:
+                    return "classrun"
                 return "dfa"
-            return "classrun"
+            from .kernels import classlit as classlit_kernel
+
+            cl = classlit_kernel.detect(self.irs[0])
+            if cl:
+                import jax
+
+                _, lo, hi, sfx, _, _ = cl
+                if (
+                    jax.default_backend() not in ("cpu",)
+                    and self.config.schain_fused == "on"
+                ):
+                    return "dfa"  # explicit fused-DFA opt-in
+                # Same crossover logic as classrun: the run+suffix DFA
+                # has Q >~ hi + |S| (measured: [A-Za-z]{30,60}ing ->
+                # Q=152, ~0.6 GB/s rolled), while the classlit
+                # formulation is Q-independent. Below the knee the fused
+                # DFA wins.
+                q_est = (hi if hi is not None else lo) + len(sfx) + 2
+                if q_est >= 48:
+                    return "classlit"
+                if jax.default_backend() in ("cpu",):
+                    return "classlit"
+                return "dfa"
         return "dfa"
 
     # -- internals ----------------------------------------------------------
@@ -290,17 +358,39 @@ class Pattern:
         """Compute (L, I) device arrays (length P+1, -1 past n) for `text`."""
         n = len(text)
         if self.engine == "classrun":
-            lut, lo, hi = self._classrun
+            lut, wlut, lo, hi, lead_wb, trail_wb = self._classrun
             P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
             pad = np.zeros(P, dtype=np.uint8)
             pad[:n] = text
             return classrun_kernel.classrun_l_arrays_device(
                 lut,
+                wlut,
                 jnp.asarray(pad),
                 jnp.int32(n),
                 lo=lo,
                 has_hi=hi is not None,
                 hi=hi if hi is not None else 0,
+                lead_wb=lead_wb,
+                trail_wb=trail_wb,
+            )
+        if self.engine == "classlit":
+            from .kernels import classlit as classlit_kernel
+
+            lut, wlut, lo, hi, sfx, lead_wb, trail_wb = self._classlit
+            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[:n] = text
+            return classlit_kernel.classlit_l_arrays_device(
+                lut,
+                wlut,
+                jnp.asarray(pad),
+                jnp.int32(n),
+                lo=lo,
+                has_hi=hi is not None,
+                hi=hi if hi is not None else 0,
+                sfx=sfx,
+                lead_wb=lead_wb,
+                trail_wb=trail_wb,
             )
         if self.engine == "literal":
             max_m = max(len(l) for l in self.info.literals)

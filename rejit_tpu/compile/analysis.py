@@ -246,6 +246,92 @@ def classrun_of(re: ir.Re) -> Optional[Tuple[int, int, Optional[int]]]:
     return None
 
 
+def bclassrun_of(
+    re: ir.Re,
+) -> Optional[Tuple[int, int, Optional[int], bool, bool]]:
+    r"""Boundary-wrapped class run: `\b?[class]{lo,hi}\b?` with lo >= 1.
+
+    Returns (bitmap, lo, hi, lead_wb, trail_wb) or None. When either \b is
+    present the class must consist entirely of word bytes (class & ~WORD
+    == 0): then every in-run byte is a word byte, so the leading \b
+    reduces to "previous byte non-word (or BOT)" and the trailing \b
+    forces the match to end exactly at the maximal-run end e with
+    text[e] non-word (or EOT) — an elementwise rule, no DFA. This family
+    is exactly the bounded-quantifier patterns whose DFAs have Q ~ hi+2
+    states (the large-Q cliff: \b[a-z]{66,132}\b -> Q=134), reference
+    behavior per SURVEY.md §2.1/C6.
+    """
+    core = re
+    lead_wb = trail_wb = False
+    if isinstance(re, ir.Cat) and 2 <= len(re.parts) <= 3:
+        parts = list(re.parts)
+        if isinstance(parts[0], ir.Assert) and parts[0].kind == "wb":
+            lead_wb = True
+            parts = parts[1:]
+        if (
+            parts
+            and isinstance(parts[-1], ir.Assert)
+            and parts[-1].kind == "wb"
+        ):
+            trail_wb = True
+            parts = parts[:-1]
+        if len(parts) != 1 or not (lead_wb or trail_wb):
+            return None
+        core = parts[0]
+    cr = classrun_of(core)
+    if cr is None:
+        return None
+    bm, lo, hi = cr
+    if (lead_wb or trail_wb) and bm & ~ir.WORD:
+        return None  # class has non-word bytes: \b is not elementwise
+    return bm, lo, hi, lead_wb, trail_wb
+
+
+def classlit_of(
+    re: ir.Re,
+) -> Optional[Tuple[int, int, Optional[int], Tuple[int, ...], bool, bool]]:
+    r"""Class run + literal suffix: `\b?[class]{lo,hi}LIT\b?`.
+
+    Returns (bitmap, lo, hi, suffix_bytes, lead_wb, trail_wb) or None.
+    lo may be 0 (the literal makes the pattern non-nullable). A leading
+    \b needs the class all word bytes and lo >= 1 (first matched byte is
+    then always a word byte); a trailing \b only needs the literal
+    non-empty (the boundary compares word-ness after the literal against
+    its last byte — elementwise either way). This is the
+    `[A-Za-z]{30,60}ing` family whose DFAs reach Q ~ 150+ states.
+    """
+    from ..kernels.classlit import MAX_SUFFIX
+
+    lead_wb = trail_wb = False
+    if not isinstance(re, ir.Cat):
+        return None
+    parts = list(re.parts)
+    if parts and isinstance(parts[0], ir.Assert) and parts[0].kind == "wb":
+        lead_wb = True
+        parts = parts[1:]
+    if parts and isinstance(parts[-1], ir.Assert) and parts[-1].kind == "wb":
+        trail_wb = True
+        parts = parts[:-1]
+    if len(parts) != 2:
+        return None
+    rep, lit = parts
+    if not isinstance(lit, ir.Lit) or not (1 <= len(lit.data) <= MAX_SUFFIX):
+        return None
+    if isinstance(rep, ir.CharClass):
+        bm, lo, hi = rep.bitmap, 1, 1
+    elif isinstance(rep, ir.Rep) and isinstance(rep.child, ir.CharClass):
+        bm, lo, hi = rep.child.bitmap, rep.lo, rep.hi
+    elif isinstance(rep, ir.Rep) and isinstance(rep.child, ir.Lit) and len(
+        rep.child.data
+    ) == 1:
+        bm, lo, hi = ir.bit(rep.child.data[0]), rep.lo, rep.hi
+    else:
+        return None
+    if lead_wb and (lo < 1 or bm & ~ir.WORD):
+        return None
+    return bm, lo, hi, tuple(lit.data), lead_wb, trail_wb
+
+
 def is_run_partition(irs) -> bool:
     """True iff every pattern is a maximal-run class pattern `[class]+`
     (lo == 1, unbounded hi) with pairwise-disjoint classes.

@@ -28,7 +28,8 @@ def _env_int(name: str, default: int) -> int:
 @dataclass(frozen=True)
 class Config:
     # Engine selection: None = auto (analysis-driven); or one of
-    # 'literal', 'dfa', 'oracle'.
+    # 'literal', 'classrun' (\b?[class]{lo,hi}\b? runs), 'classlit'
+    # (\b?[class]{lo,hi}LIT\b? run + literal suffix), 'dfa', 'oracle'.
     engine: Optional[str] = None
 
     # Text block size for the blocked DFA scan (bytes per block).

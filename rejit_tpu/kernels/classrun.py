@@ -1,4 +1,4 @@
-"""Class-run engine: patterns of the form [class]{lo,hi} (incl. +, *ish).
+r"""Class-run engine: patterns of the form \b?[class]{lo,hi}\b? (incl. +).
 
 The workhorse for BASELINE config 2 (`[a-z]+`) and tokenizer-style classes:
 maximal runs of a byte class are found with a membership LUT + one reverse
@@ -7,6 +7,15 @@ cumulative-min (next non-member index) — ~5 vector ops per byte, no DFA.
 Exact leftmost-longest semantics: for boundary s inside a run ending at e,
 L[s] = min(s + hi, e) provided the run from s has at least `lo` bytes.
 (docs/SEMANTICS.md; differential-tested vs the oracle.)
+
+Word-boundary-wrapped runs (class all word bytes) stay elementwise — the
+leading \b is "previous byte non-word", the trailing \b pins the end to
+the maximal-run end e with text[e] non-word (low bit of the packed
+reverse-cummin). This family is exactly the bounded-quantifier patterns
+whose DFAs have Q ~ hi+2 states, where the rolled fused kernel falls off
+~Q^1.5 (bench/NOTES.md "large-Q knee") — here they run at the
+Q-independent classrun rate. Reference behavior: rejit's state-ring is
+linear in pattern size for these (SURVEY.md §2.1/C6, unverified recall).
 """
 from __future__ import annotations
 
@@ -20,12 +29,13 @@ import numpy as np
 from ..compile import ir
 
 
-def detect(node) -> Optional[Tuple[int, int, Optional[int]]]:
-    """If the pattern is exactly [class]{lo,hi} with lo >= 1, return
-    (bitmap, lo, hi). CharClass alone counts as {1,1}."""
-    from ..compile.analysis import classrun_of
+def detect(node) -> Optional[Tuple[int, int, Optional[int], bool, bool]]:
+    r"""If the pattern is `\b?[class]{lo,hi}\b?` with lo >= 1 (class all
+    word bytes when a \b is present), return (bitmap, lo, hi, lead_wb,
+    trail_wb). CharClass alone counts as {1,1}."""
+    from ..compile.analysis import bclassrun_of
 
-    return classrun_of(node)
+    return bclassrun_of(node)
 
 
 def member_lut(bitmap: int) -> np.ndarray:
@@ -35,29 +45,69 @@ def member_lut(bitmap: int) -> np.ndarray:
     return lut
 
 
-@functools.partial(jax.jit, static_argnames=("lo", "has_hi", "hi"))
+@functools.partial(
+    jax.jit, static_argnames=("lo", "has_hi", "hi", "lead_wb", "trail_wb")
+)
 def classrun_l_arrays_device(
     lut: jnp.ndarray,
+    wlut: jnp.ndarray,
     text: jnp.ndarray,
     n: jnp.ndarray,
     *,
     lo: int,
     has_hi: bool,
     hi: int,
+    lead_wb: bool = False,
+    trail_wb: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(L, I) of length P+1 for a class-run pattern over padded text."""
+    r"""(L, I) of length P+1 for a `\b?[class]{lo,hi}\b?` run pattern.
+
+    With a \b present the class is all word bytes (detect() guarantees),
+    so the boundary tests are elementwise:
+      * leading \b: previous byte non-word, or s == 0;
+      * trailing \b: the ONLY viable match end is the maximal-run end e
+        (every in-run byte is a word byte, so no interior boundary), and
+        it matches iff text[e] is non-word or e == n. The stop byte's
+        word-ness rides in the low bit of the reverse-cummin word.
+    """
     P = text.shape[0]
     pos = jnp.arange(P, dtype=jnp.int32)
-    inc = (lut[text.astype(jnp.int32)] > 0) & (pos < n)
-    # Next non-member boundary at/after each position (reverse cummin).
-    nm_pos = jnp.where(inc, jnp.int32(2**30), pos)
-    ne = jax.lax.cummin(nm_pos, axis=0, reverse=True)
-    run_end = jnp.minimum(ne, n)                    # run from s ends here
-    L = jnp.where(
-        inc & (run_end - pos >= lo),
-        jnp.minimum(pos + hi, run_end) if has_hi else run_end,
-        -1,
-    )
+    ti = text.astype(jnp.int32)
+    inc = (lut[ti] > 0) & (pos < n)
+    if trail_wb:
+        # stop position acceptable <=> non-word byte there, or at/past n
+        stop_ok = (wlut[ti] == 0) | (pos >= n)
+        nm = jnp.where(
+            inc,
+            jnp.int32(2**30),
+            (pos << 1) | (1 - stop_ok.astype(jnp.int32)),
+        )
+        ne = jax.lax.cummin(nm, axis=0, reverse=True)
+        # A run reaching the padded array end stops at n (EOT: \b holds).
+        over = ne >= jnp.int32(2**30)
+        e = jnp.where(over, n, ne >> 1)
+        run_end = jnp.minimum(e, n)
+        t_ok = over | ((ne & 1) == 0)
+        jlen = run_end - pos
+        ok = inc & t_ok & (jlen >= lo)
+        if has_hi:
+            ok = ok & (jlen <= hi)
+        L = jnp.where(ok, run_end, -1)
+    else:
+        # Next non-member boundary at/after each position (reverse cummin).
+        nm_pos = jnp.where(inc, jnp.int32(2**30), pos)
+        ne = jax.lax.cummin(nm_pos, axis=0, reverse=True)
+        run_end = jnp.minimum(ne, n)                # run from s ends here
+        L = jnp.where(
+            inc & (run_end - pos >= lo),
+            jnp.minimum(pos + hi, run_end) if has_hi else run_end,
+            -1,
+        )
+    if lead_wb:
+        # inc[s] implies text[s] is a word byte; \b needs prev non-word.
+        w = wlut[ti] > 0
+        prev_w = jnp.concatenate([jnp.zeros(1, dtype=bool), w[:-1]])
+        L = jnp.where(prev_w, jnp.int32(-1), L)
     I = jnp.where(L >= 0, 0, -1)
     # Boundary P (and any boundary >= n) has no match (lo >= 1).
     L = jnp.concatenate([L, jnp.full(1, -1, jnp.int32)])

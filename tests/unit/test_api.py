@@ -42,7 +42,10 @@ def test_engine_selection():
     assert Pattern("foo").engine == "literal"
     assert Pattern("foo|bar").engine == "literal"
     assert Pattern("[a-z]+").engine == "classrun"
-    assert Pattern(r"\w+ing\b").engine == "dfa"
+    # run+literal-suffix family: elementwise classlit on CPU
+    assert Pattern(r"\w+ing\b").engine == "classlit"
+    assert Pattern(r"\b\w+ing\b").engine == "classlit"
+    assert Pattern(r"[ab]+(x|yy)ing").engine == "dfa"
     assert Pattern("foo", Config(engine="dfa")).engine == "dfa"
     assert Pattern("foo", Config(engine="oracle")).engine == "oracle"
 
@@ -66,17 +69,27 @@ def test_fused_auto_gate_large_q(monkeypatch):
         # Round 3: the r2 "compile wall" above Q=32 was a degraded
         # tunnel-compile window (fresh-key measurements: 9-115 s across
         # Q=35..134) and rolled throughput beats the XLA select-chain at
-        # every Q (0.66 vs 0.01 GB/s at Q=134), so auto now stays on the
-        # rolled fused kernel through MAX_Q_ROLLED = 256.
+        # every Q (0.66 vs 0.01 GB/s at Q=134), so forced-dfa stays on
+        # the rolled fused kernel through MAX_Q_ROLLED = 256. AUTO for
+        # the \b-wrapped bounded-run family now routes hi+2 >= 48 to the
+        # Q-independent classrun engine instead (rolled falls ~Q^1.5:
+        # 2.9 GB/s at Q=50, 0.71 at Q=126 — bench/NOTES.md).
         (r"\b[a-z]{24,48}\b", 50, True, True),
         (r"\b[a-z]{62,124}\b", 126, True, True),
     ]
     for pat, q, want_fused, want_rolled in cases:
-        p = Pattern(pat)
+        p = Pattern(pat, Config(engine="dfa"))
         assert p.tables.n_states == q, pat
         assert p._use_schain_fused() == want_fused, pat
         if want_fused:
             assert p._fused_rolled() == want_rolled, pat
+    # auto engine: small-Q wb-runs stay on the fused DFA; at the measured
+    # crossover (hi + 2 >= 48) the classrun formulation takes over.
+    assert Pattern(r"\b[a-z]{8,16}\b").engine == "dfa"
+    assert Pattern(r"\b[a-z]{16,30}\b").engine == "dfa"
+    assert Pattern(r"\b[a-z]{24,48}\b").engine == "classrun"
+    assert Pattern(r"\b[a-z]{62,124}\b").engine == "classrun"
+    assert Pattern(r"[a-z]+").engine == "dfa"  # unbounded: DFA ladder wins
     assert AUTO_MAX_Q == 16 and AUTO_MAX_Q_ROLLED == 256
     # schain_fused='on' still reaches large Q (rolled by default there);
     # schain_rolled='off' confines auto to the unrolled knee.

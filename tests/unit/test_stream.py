@@ -194,7 +194,7 @@ def test_stream_pallas_interpret_bit_equal():
     arr = np.frombuffer(data, dtype=np.uint8)
     p = rejit_tpu.Pattern(r"\b\w+ing\b")
     cb = 32 * CHUNK  # one pallas grid chunk per stream chunk
-    a = stream.stream_match_all(p.tables, arr, chunk_bytes=cb)
+    a = stream.stream_match_all(p._dfa_tables(), arr, chunk_bytes=cb)
     b = stream.stream_match_all(
         p.tables, arr, chunk_bytes=cb, use_pallas=True, interpret=True
     )

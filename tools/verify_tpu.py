@@ -178,10 +178,51 @@ def child(subset: int, size_mb: float, cpu: bool = False,
     if bad:
         print(json.dumps({"ok": False, "stage": "B", "bad": bad}))
         sys.exit(1)
+
+    # ---- C. elementwise engines (classrun/classlit) on the chip --------
+    # Every single-pattern corpus case these engines can express, forced
+    # through them, vs the frozen expectations (they are XLA formulas,
+    # not Mosaic, but this pins the on-device lowering too).
+    from rejit_tpu.kernels import classlit as clk
+    from rejit_tpu.kernels import classrun as crk
+
+    cbad = ccnt = 0
+    for i, c in enumerate(cases):
+        if len(c["patterns"]) != 1:
+            continue
+        pat = c["patterns"][0]
+        try:
+            node = Pattern(pat).irs[0]
+        except Exception:  # noqa: BLE001
+            continue
+        for eng, det in (("classrun", crk.detect), ("classlit", clk.detect)):
+            if not det(node):
+                continue
+            ccnt += 1
+            try:
+                p = Pattern(pat, Config(engine=eng))
+                s, e, pid = p.match_all_arrays(
+                    base64.b64decode(c["text_b64"])
+                )
+                got = [[int(a), int(b), int(g)]
+                       for a, b, g in zip(s, e, pid)]
+            except Exception as ex:  # noqa: BLE001
+                log(f"C case {i} {pat!r} [{eng}]: EXC {ex!r}")
+                cbad += 1
+                continue
+            if got != c["match_all_ids"]:
+                log(f"C case {i} {pat!r} [{eng}]: got {got[:6]}... "
+                    f"want {c['match_all_ids'][:6]}...")
+                cbad += 1
+    log(f"C: {ccnt} classrun/classlit case-engine runs")
+    if cbad:
+        print(json.dumps({"ok": False, "stage": "C", "bad": cbad}))
+        sys.exit(1)
     print(json.dumps({
         "ok": True,
         "engine_patterns": len(ENGINE_PATTERNS),
         "conformance_cases": len(picked),
+        "elementwise_cases": ccnt,
         "platform": dev.platform,
     }))
 
