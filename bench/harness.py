@@ -187,15 +187,18 @@ def run_configs(size_mb: float, which, engines="all"):
         pc = Pattern("[a-z]+", Config(engine="classrun"))
         from rejit_tpu.kernels import classrun as crk
 
+        from rejit_tpu.kernels import scan1d as s1d2
+
         lut, wlut, lo, hi, lead_wb, trail_wb = pc._classrun
-        P2 = ((n + 1023) // 1024) * 1024
+        P2 = s1d2.pad_len(n)
         pad2 = np.zeros(P2, dtype=np.uint8)
         pad2[:n] = text
         td2 = jax.device_put(jnp.asarray(pad2))
         nd2 = jnp.int32(n)
         step_cr = lambda nv: crk.classrun_l_arrays_device(
             lut, wlut, td2, nv, lo=lo, has_hi=hi is not None, hi=hi or 0,
-            lead_wb=lead_wb, trail_wb=trail_wb
+            lead_wb=lead_wb, trail_wb=trail_wb, pallas_scan=True,
+            class_runs=pc._class_runs, word_runs=pc._word_runs,
         )[0].max()
         report("config2_classrun_[a-z]+", tchain(step_cr, n), n)
 
@@ -224,9 +227,11 @@ def run_configs(size_mb: float, which, engines="all"):
         # vs the rolled kernel's ~Q^1.5 falloff — 0.71 GB/s at Q=126).
         from rejit_tpu.kernels import classrun as crk3
 
+        from rejit_tpu.kernels import scan1d as s1d
+
         plq = Pattern(r"\b[a-z]{62,124}\b", Config(engine="classrun"))
         lutq, wlutq, loq, hiq, leadq, trailq = plq._classrun
-        Pq = ((n + 1023) // 1024) * 1024
+        Pq = s1d.pad_len(n)
         padq = np.zeros(Pq, dtype=np.uint8)
         padq[:n] = text
         tdq = jax.device_put(jnp.asarray(padq))
@@ -234,7 +239,8 @@ def run_configs(size_mb: float, which, engines="all"):
         def step_lq(nv):
             L, _ = crk3.classrun_l_arrays_device(
                 lutq, wlutq, tdq, nv, lo=loq, has_hi=True, hi=hiq,
-                lead_wb=leadq, trail_wb=trailq,
+                lead_wb=leadq, trail_wb=trailq, pallas_scan=True,
+                class_runs=plq._class_runs, word_runs=plq._word_runs,
             )
             return jnp.sum(jnp.where(L >= 0, L, 0), dtype=jnp.int32)
 
@@ -260,6 +266,8 @@ def run_configs(size_mb: float, which, engines="all"):
             L, _ = clk3.classlit_l_arrays_device(
                 lutl, wlutl, tdq, nv, lo=lol, has_hi=True, hi=hil,
                 sfx=sfxl, lead_wb=leadl, trail_wb=traill,
+                pallas_scan=True,
+                class_runs=pll._class_runs, word_runs=pll._word_runs,
             )
             return jnp.sum(jnp.where(L >= 0, L, 0), dtype=jnp.int32)
 

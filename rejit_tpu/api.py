@@ -171,6 +171,8 @@ class Pattern:
                 lead_wb,
                 trail_wb,
             )
+            self._class_runs = classrun_kernel.bitmap_runs(bitmap)
+            self._word_runs = classrun_kernel.bitmap_runs(ir_mod.WORD)
         if self.engine == "classlit":
             from .kernels import classlit as classlit_kernel
 
@@ -186,6 +188,8 @@ class Pattern:
                 lead_wb,
                 trail_wb,
             )
+            self._class_runs = classrun_kernel.bitmap_runs(bitmap)
+            self._word_runs = classrun_kernel.bitmap_runs(ir_mod.WORD)
         if self.engine == "dfa":
             try:
                 self.tables = self._compile_tables_cached()
@@ -354,32 +358,52 @@ class Pattern:
 
     # -- internals ----------------------------------------------------------
 
+    def _scan_kernel_mode(self, n: int):
+        """(pallas_scan, interpret, padded_len) for the elementwise
+        engines. The one-pass Pallas scan kernel (kernels/scan1d.py,
+        14x the lax cummin/cummax lowering) runs on accelerators unless
+        Config.pallas == 'off'; it needs the padded length to be a
+        multiple of scan1d.STEP."""
+        import jax
+
+        from .kernels import scan1d
+
+        cfg = self.config
+        ps = cfg.pallas != "off" and (
+            cfg.interpret or jax.default_backend() not in ("cpu",)
+        )
+        if ps:
+            blocks = -(-max(1, n) // scan1d.STEP)
+            return ps, cfg.interpret, _bucket_blocks(blocks) * scan1d.STEP
+        return False, False, _bucket_blocks(max(1, -(-n // 1024))) * 1024
+
     def _l_i_device(self, text: np.ndarray, corpus=None):
         """Compute (L, I) device arrays (length P+1, -1 past n) for `text`."""
         n = len(text)
-        if self.engine == "classrun":
-            lut, wlut, lo, hi, lead_wb, trail_wb = self._classrun
-            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+        if self.engine in ("classrun", "classlit"):
+            ps, interp, P = self._scan_kernel_mode(n)
             pad = np.zeros(P, dtype=np.uint8)
             pad[:n] = text
-            return classrun_kernel.classrun_l_arrays_device(
-                lut,
-                wlut,
-                jnp.asarray(pad),
-                jnp.int32(n),
-                lo=lo,
-                has_hi=hi is not None,
-                hi=hi if hi is not None else 0,
-                lead_wb=lead_wb,
-                trail_wb=trail_wb,
-            )
-        if self.engine == "classlit":
+            if self.engine == "classrun":
+                lut, wlut, lo, hi, lead_wb, trail_wb = self._classrun
+                return classrun_kernel.classrun_l_arrays_device(
+                    lut,
+                    wlut,
+                    jnp.asarray(pad),
+                    jnp.int32(n),
+                    lo=lo,
+                    has_hi=hi is not None,
+                    hi=hi if hi is not None else 0,
+                    lead_wb=lead_wb,
+                    trail_wb=trail_wb,
+                    pallas_scan=ps,
+                    interpret=interp,
+                    class_runs=self._class_runs,
+                    word_runs=self._word_runs,
+                )
             from .kernels import classlit as classlit_kernel
 
             lut, wlut, lo, hi, sfx, lead_wb, trail_wb = self._classlit
-            P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
-            pad = np.zeros(P, dtype=np.uint8)
-            pad[:n] = text
             return classlit_kernel.classlit_l_arrays_device(
                 lut,
                 wlut,
@@ -391,6 +415,10 @@ class Pattern:
                 sfx=sfx,
                 lead_wb=lead_wb,
                 trail_wb=trail_wb,
+                pallas_scan=ps,
+                interpret=interp,
+                class_runs=self._class_runs,
+                word_runs=self._word_runs,
             )
         if self.engine == "literal":
             max_m = max(len(l) for l in self.info.literals)

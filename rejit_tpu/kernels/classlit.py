@@ -63,7 +63,10 @@ def _shl(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lo", "has_hi", "hi", "sfx", "lead_wb", "trail_wb"),
+    static_argnames=(
+        "lo", "has_hi", "hi", "sfx", "lead_wb", "trail_wb", "pallas_scan",
+        "interpret", "class_runs", "word_runs",
+    ),
 )
 def classlit_l_arrays_device(
     lut: jnp.ndarray,
@@ -77,13 +80,19 @@ def classlit_l_arrays_device(
     sfx: Tuple[int, ...],
     lead_wb: bool = False,
     trail_wb: bool = False,
+    pallas_scan: bool = False,
+    interpret: bool = False,
+    class_runs=None,
+    word_runs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, I) of length P+1 for a class-run + literal-suffix pattern."""
     P = text.shape[0]
     m = len(sfx)
     pos = jnp.arange(P, dtype=jnp.int32)
     ti = text.astype(jnp.int32)
-    inc = (lut[ti] > 0) & (pos < n)
+    from .classrun import _member
+
+    inc = _member(ti, class_runs, lut) & (pos < n)
 
     # occ[p]: S at p (within n), plus the trailing-\b condition.
     occ = pos + m <= n
@@ -93,7 +102,8 @@ def classlit_l_arrays_device(
         # \b after the literal: word-ness flips at p+m (EOT is non-word).
         from ..compile.ir import WORD
 
-        after_w = (_shl(wlut[ti], m, 0) > 0) & (pos + m < n)
+        after_w = _shl(_member(ti, word_runs, wlut).astype(jnp.int32), m, 0) > 0
+        after_w = after_w & (pos + m < n)
         s_last_w = bool((WORD >> sfx[-1]) & 1)  # static
         occ = occ & (after_w != s_last_w)
     val = jnp.where(occ, pos, -1)
@@ -107,8 +117,16 @@ def classlit_l_arrays_device(
     # monotonicity. (An earlier log2(P)-round segmented doubling measured
     # 1.26 GB/s HBM-bound; this form is 3 scans total.)
     BIG = jnp.int32(2**30)
-    F = jax.lax.cummax(val, axis=0)
-    R = jax.lax.cummin(jnp.where(inc, BIG, F), axis=0, reverse=True)
+    if pallas_scan:
+        # One-pass Pallas scans (kernels/scan1d.py): measured 14x over
+        # the lax lowerings on-chip, bit-equal.
+        from . import scan1d
+
+        F = scan1d.cummax(val, interpret=interpret)
+        R = scan1d.rcummin(jnp.where(inc, BIG, F), interpret=interpret)
+    else:
+        F = jax.lax.cummax(val, axis=0)
+        R = jax.lax.cummin(jnp.where(inc, BIG, F), axis=0, reverse=True)
     F_last = F[-1]
     if has_hi:
         # F[s+hi] with everything past the array covered by F_last.
@@ -124,7 +142,7 @@ def classlit_l_arrays_device(
     if lead_wb:
         # class is all word bytes and lo >= 1 (detect() guarantees), so
         # the leading \b is: previous byte non-word, or s == 0.
-        w = wlut[ti] > 0
+        w = _member(ti, word_runs, wlut)
         prev_w = jnp.concatenate([jnp.zeros(1, dtype=bool), w[:-1]])
         L = jnp.where(prev_w, jnp.int32(-1), L)
     I = jnp.where(L >= 0, 0, -1)

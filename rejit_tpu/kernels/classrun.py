@@ -45,8 +45,61 @@ def member_lut(bitmap: int) -> np.ndarray:
     return lut
 
 
+MAX_RUNS = 8  # membership via range compares up to this many runs
+
+
+def bitmap_runs(bitmap: int) -> Optional[Tuple[Tuple[int, int], ...]]:
+    """Contiguous byte ranges of a 256-bit class bitmap, or None when
+    there are more than MAX_RUNS (then the 256-entry LUT gather wins).
+    Range compares are pure VPU ops; the LUT is a dynamic gather — the
+    round-1 lesson (bench/NOTES.md) says compares win by a wide margin
+    on this chip ([a-z] = 1 run = 2 compares; \\w = 4 runs)."""
+    runs = []
+    b = 0
+    while b < 256:
+        if (bitmap >> b) & 1:
+            lo = b
+            while b < 256 and (bitmap >> b) & 1:
+                b += 1
+            runs.append((lo, b - 1))
+            if len(runs) > MAX_RUNS:
+                return None
+        else:
+            b += 1
+    return tuple(runs)
+
+
+def _member(ti: jnp.ndarray, runs, lut: jnp.ndarray) -> jnp.ndarray:
+    """Class membership: static range compares when `runs` is given
+    (compile-time tuple), else the LUT gather."""
+    if runs is None:
+        return lut[ti] > 0
+    m = None
+    for lo, hi in runs:
+        c = (ti == lo) if lo == hi else ((ti >= lo) & (ti <= hi))
+        m = c if m is None else (m | c)
+    if m is None:
+        return jnp.zeros(ti.shape, dtype=bool)
+    return m
+
+
+def _rcummin(x, pallas_scan: bool, interpret: bool):
+    """Reverse cummin: the Pallas one-pass scan kernel when enabled
+    (kernels/scan1d.py — measured 14x over the lax lowering on-chip,
+    bit-equal), else lax. Requires len(x) % scan1d.STEP == 0 when on."""
+    if pallas_scan:
+        from . import scan1d
+
+        return scan1d.rcummin(x, interpret=interpret)
+    return jax.lax.cummin(x, axis=0, reverse=True)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("lo", "has_hi", "hi", "lead_wb", "trail_wb")
+    jax.jit,
+    static_argnames=(
+        "lo", "has_hi", "hi", "lead_wb", "trail_wb", "pallas_scan",
+        "interpret", "class_runs", "word_runs",
+    ),
 )
 def classrun_l_arrays_device(
     lut: jnp.ndarray,
@@ -59,6 +112,10 @@ def classrun_l_arrays_device(
     hi: int,
     lead_wb: bool = False,
     trail_wb: bool = False,
+    pallas_scan: bool = False,
+    interpret: bool = False,
+    class_runs=None,
+    word_runs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""(L, I) of length P+1 for a `\b?[class]{lo,hi}\b?` run pattern.
 
@@ -73,16 +130,16 @@ def classrun_l_arrays_device(
     P = text.shape[0]
     pos = jnp.arange(P, dtype=jnp.int32)
     ti = text.astype(jnp.int32)
-    inc = (lut[ti] > 0) & (pos < n)
+    inc = _member(ti, class_runs, lut) & (pos < n)
     if trail_wb:
         # stop position acceptable <=> non-word byte there, or at/past n
-        stop_ok = (wlut[ti] == 0) | (pos >= n)
+        stop_ok = ~_member(ti, word_runs, wlut) | (pos >= n)
         nm = jnp.where(
             inc,
             jnp.int32(2**30),
             (pos << 1) | (1 - stop_ok.astype(jnp.int32)),
         )
-        ne = jax.lax.cummin(nm, axis=0, reverse=True)
+        ne = _rcummin(nm, pallas_scan, interpret)
         # A run reaching the padded array end stops at n (EOT: \b holds).
         over = ne >= jnp.int32(2**30)
         e = jnp.where(over, n, ne >> 1)
@@ -96,7 +153,7 @@ def classrun_l_arrays_device(
     else:
         # Next non-member boundary at/after each position (reverse cummin).
         nm_pos = jnp.where(inc, jnp.int32(2**30), pos)
-        ne = jax.lax.cummin(nm_pos, axis=0, reverse=True)
+        ne = _rcummin(nm_pos, pallas_scan, interpret)
         run_end = jnp.minimum(ne, n)                # run from s ends here
         L = jnp.where(
             inc & (run_end - pos >= lo),
@@ -105,7 +162,7 @@ def classrun_l_arrays_device(
         )
     if lead_wb:
         # inc[s] implies text[s] is a word byte; \b needs prev non-word.
-        w = wlut[ti] > 0
+        w = _member(ti, word_runs, wlut)
         prev_w = jnp.concatenate([jnp.zeros(1, dtype=bool), w[:-1]])
         L = jnp.where(prev_w, jnp.int32(-1), L)
     I = jnp.where(L >= 0, 0, -1)
