@@ -808,6 +808,51 @@ class Pattern:
                 out = self.match_all_stream(t, chunk_bytes=cb)
                 self.last_stats.op = "match_all"
                 return out
+        if (
+            self.engine == "literal"
+            and self.info.overlap_free
+            and corpus is None
+            and self.config.pallas != "off"
+            and (self.config.interpret or self._use_pallas())
+            and max(len(l) for l in self.info.literals) <= 128
+            and max(self.info.literal_pids) < 16
+        ):
+            # Fused match->spans Pallas kernel (kernels/extract_pallas.py):
+            # ONE pass over the text produces the compacted per-row span
+            # keys — no (L, I) materialization, no extraction passes.
+            # Overlap-free, so every candidate is a match.
+            from .kernels import extract_pallas as xp
+
+            with Timer() as t_all:
+                n = len(t)
+                max_m = max(len(l) for l in self.info.literals)
+                with Timer() as t_dev:
+                    rows = jnp.asarray(xp.pad_rows(t, n, max_m))
+                    cap, mx = 4, None
+                    while mx is None or mx > cap:
+                        keys, cnt = xp.literal_spans_pallas(
+                            rows, jnp.int32(n),
+                            lits=self.info.literals,
+                            pids=self.info.literal_pids,
+                            cap=cap, interpret=self.config.interpret,
+                        )
+                        mx = int(jnp.max(cnt))  # exact even past cap
+                        while cap < mx:
+                            cap *= 2
+                    n_cand = int(jnp.sum(cnt))
+                with Timer() as t_sel:
+                    out = xp.spans_host(keys)
+            self.last_stats = MatchStats(
+                engine=self.engine,
+                op="match_all",
+                n_bytes=len(t),
+                n_candidates=n_cand,
+                n_matches=len(out[0]),
+                device_time_s=t_dev.elapsed,
+                select_time_s=t_sel.elapsed,
+                total_time_s=t_all.elapsed,
+            )
+            return out
         with Timer() as t_all:
             with Timer() as t_dev:
                 L, I = self._l_i_device(t, corpus=corpus)

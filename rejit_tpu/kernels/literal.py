@@ -4,8 +4,8 @@ TPU-native equivalent of rejit's FastForwardGen SSE literal scan (reference:
 rejit:src/x64/codegen-x64.cc FastForwardGen, unverified recall — SURVEY.md
 §2.1/C6): instead of 16-byte pcmpeqb loops, the whole text is compared
 against each literal byte at a static shift and AND-reduced — XLA fuses this
-into one streaming pass per literal at VPU width. A Pallas fused variant
-lives in rejit_tpu/kernels/literal_pallas.py.
+into one streaming pass per literal at VPU width. The fused match->spans
+Pallas kernel lives in rejit_tpu/kernels/extract_pallas.py.
 
 The caller pads `text` with `max_len(lits)` trailing bytes (any value) so
 shifted slices stay in bounds; `n` is the true length.

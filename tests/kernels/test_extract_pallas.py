@@ -1,0 +1,140 @@
+"""Differential tests: fused literal->spans Pallas kernel vs the XLA
+literal path (kernels/literal.py) decoded by numpy — the headline program's
+correctness pin (bench.py asserts the same parity on chip before timing)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rejit_tpu.kernels import extract_pallas as xp
+from rejit_tpu.kernels import literal as lk
+
+
+def _expected(text: np.ndarray, n: int, lits, pids):
+    P = n
+    ext = jnp.asarray(lk.extend_pad(text[:n], P, max(len(l) for l in lits)))
+    L, I = lk.literal_l_arrays_device(
+        ext, jnp.int32(n), lits=lits, pids=pids, P=P
+    )
+    L = np.asarray(L)[:n]
+    I = np.asarray(I)[:n]
+    s = np.flatnonzero(L >= 0)
+    return s, L[s], I[s]
+
+
+def _run(text: np.ndarray, n: int, lits, pids, cap=4):
+    rows = jnp.asarray(xp.pad_rows(text, n, max(len(l) for l in lits)))
+    keys, cnt = xp.literal_spans_pallas(
+        rows, jnp.int32(n), lits=lits, pids=pids, cap=cap, interpret=True
+    )
+    assert int(jnp.max(cnt)) <= cap, "cap sizing violated in test"
+    return xp.spans_host(keys)
+
+
+CASES = [
+    (b"packet", (0,)),
+    (b"a", (0,)),
+    ((b"foo", b"bar", b"baz"), (0, 1, 2)),
+    ((b"ing", b"ingest"), (0, 1)),        # longest-first claim ordering
+    (b"\x00\xff", (0,)),                  # binary literal incl. NUL
+]
+
+
+@pytest.mark.parametrize("lits,pids", CASES)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_vs_xla_literal_path(lits, pids, seed):
+    if isinstance(lits, bytes):
+        lits = (lits,)
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3 * xp.STEP))
+    text = rng.integers(0, 256, size=n, dtype=np.uint8)
+    # Plant needles so matches actually occur (incl. near n and at row
+    # boundaries, exercising the cross-block halo).
+    for _ in range(50):
+        lit = lits[rng.integers(len(lits))]
+        p = int(rng.integers(0, n))
+        text[p : p + len(lit)] = np.frombuffer(lit[: n - p], dtype=np.uint8)
+    for b in (xp.CHL - 1, xp.STEP - 2, n - len(lits[0])):
+        if 0 <= b and b + len(lits[0]) <= n:
+            text[b : b + len(lits[0])] = np.frombuffer(lits[0], np.uint8)
+    es, ee, ep = _expected(text, n, lits, pids)
+    cap = 4
+    while True:
+        try:
+            gs, ge, gp = _run(text, n, lits, pids, cap=cap)
+            break
+        except AssertionError:
+            cap *= 2
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
+
+
+def test_hit_straddling_n_is_masked():
+    lit = (b"abcd",)
+    n = 10
+    text = np.zeros(n, np.uint8)
+    text[8:10] = list(b"ab")  # "ab" at 8, "cd" would live past n
+    es, ee, ep = _expected(text, n, lit, (0,))
+    gs, ge, gp = _run(text, n, lit, (0,))
+    np.testing.assert_array_equal(gs, es)
+    assert not ((gs <= n - 1) & (ge > n)).any()
+
+
+def test_counts_exact_when_cap_too_small():
+    lit = (b"aa",)
+    n = 600
+    text = np.full(n, ord("a"), np.uint8)  # overlapping hits everywhere
+    rows = jnp.asarray(xp.pad_rows(text, n, 2))
+    _keys, cnt = xp.literal_spans_pallas(
+        rows, jnp.int32(n), lits=lit, pids=(0,), cap=2, interpret=True
+    )
+    # counts is exact even when cap truncates the slot outputs.
+    L = np.asarray(
+        lk.literal_l_arrays_device(
+            jnp.asarray(lk.extend_pad(text, n, 2)),
+            jnp.int32(n), lits=lit, pids=(0,), P=n,
+        )[0]
+    )[:n]
+    per_row = np.add.reduceat(
+        (L >= 0).astype(np.int32),
+        np.arange(0, n, xp.CHL),
+    )
+    got = np.asarray(cnt)[: len(per_row)]
+    np.testing.assert_array_equal(got, per_row)
+
+
+def test_count_only_mode():
+    rng = np.random.default_rng(2)
+    n = xp.STEP + 333
+    text = rng.integers(0, 256, size=n, dtype=np.uint8)
+    for p in (0, 5, xp.CHL - 3, xp.STEP - 1, n - 6):
+        text[p : p + 6] = np.frombuffer(b"packet"[: n - p], np.uint8)
+    rows = jnp.asarray(xp.pad_rows(text, n, 6))
+    keys, cnt = xp.literal_spans_pallas(
+        rows, jnp.int32(n), lits=(b"packet",), pids=(0,), cap=0,
+        interpret=True,
+    )
+    assert keys is None
+    assert int(np.asarray(cnt).sum()) == text[:n].tobytes().count(b"packet")
+
+
+def test_api_fused_literal_spans_path():
+    """The api.match_all_arrays fused-literal gate, end to end in
+    interpret mode, differential vs the default (XLA) path."""
+    from rejit_tpu import Config, Pattern
+
+    rng = np.random.default_rng(3)
+    n = 70_000
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in range(0, n - 3, 997):
+        text[p : p + 3] = np.frombuffer(b"foo", np.uint8)
+    pf = Pattern("foo|quux", Config(interpret=True, pallas="on"))
+    assert pf.engine == "literal" and pf.info.overlap_free
+    gs, ge, gp = pf.match_all_arrays(text)
+    assert pf.last_stats.op == "match_all"
+    pd = Pattern("foo|quux", Config(pallas="off"))
+    es, ee, ep = pd.match_all_arrays(text)
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
