@@ -828,8 +828,8 @@ class Pattern:
                 max_m = max(len(l) for l in self.info.literals)
                 with Timer() as t_dev:
                     rows = jnp.asarray(xp.pad_rows(t, n, max_m))
-                    cap, mx = 4, None
-                    while mx is None or mx > cap:
+                    cap = 4
+                    while True:
                         keys, cnt = xp.literal_spans_pallas(
                             rows, jnp.int32(n),
                             lits=self.info.literals,
@@ -837,6 +837,10 @@ class Pattern:
                             cap=cap, interpret=self.config.interpret,
                         )
                         mx = int(jnp.max(cnt))  # exact even past cap
+                        if mx <= cap:
+                            break
+                        # keys is truncated at the cap used for THIS call;
+                        # enlarge and re-run the kernel before decoding.
                         while cap < mx:
                             cap *= 2
                     n_cand = int(jnp.sum(cnt))

@@ -138,3 +138,27 @@ def test_api_fused_literal_spans_path():
     np.testing.assert_array_equal(gs, es)
     np.testing.assert_array_equal(ge, ee)
     np.testing.assert_array_equal(gp, ep)
+
+
+def test_api_fused_literal_spans_dense_cap_resize():
+    """Dense matches (>4 hits per CHL-byte row) force the api.py cap-resize
+    loop to re-invoke the kernel with an enlarged cap; the r3 bug returned
+    the truncated cap=4 keys and silently dropped spans (ADVICE r3 high)."""
+    from rejit_tpu import Config, Pattern
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    # Overlap-free 2-byte literal every 8 bytes: CHL/8 hits per row >> 4.
+    for p in range(0, n - 2, 8):
+        text[p : p + 2] = np.frombuffer(b"zq", np.uint8)
+    pf = Pattern("zq|vw", Config(interpret=True, pallas="on"))
+    assert pf.engine == "literal" and pf.info.overlap_free
+    gs, ge, gp = pf.match_all_arrays(text)
+    assert pf.last_stats.n_matches == pf.last_stats.n_candidates
+    pd = Pattern("zq|vw", Config(pallas="off"))
+    es, ee, ep = pd.match_all_arrays(text)
+    assert len(es) >= n // 8 - 8
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
