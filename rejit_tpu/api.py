@@ -148,6 +148,14 @@ class Pattern:
             p.encode("utf-8") if isinstance(p, str) else bytes(p)
             for p in patterns
         )
+        if config.ignore_case:
+            # Normalize to the '(?i)' prefix form so every downstream path
+            # (oracle fallback, streaming, compile caches keyed on source)
+            # sees the case-folded pattern.
+            self.source = tuple(
+                p if p.startswith(b"(?i)") else b"(?i)" + p
+                for p in self.source
+            )
         self.irs = [parser.parse(p) for p in self.source]
         if config.print_tree:
             for p, node in zip(self.source, self.irs):

@@ -70,6 +70,15 @@ def is_word_byte(b: Optional[int]) -> bool:
     return b is not None and (WORD >> b) & 1 == 1
 
 
+_LOWER = bitmap_from_ranges((0x61, 0x7A))
+_UPPER = bitmap_from_ranges((0x41, 0x5A))
+
+
+def bitmap_casefold(m: int) -> int:
+    """Close a byte-class bitmap under ASCII case folding ('a'^'A' = 0x20)."""
+    return m | ((m & _LOWER) >> 0x20) | ((m & _UPPER) << 0x20)
+
+
 # ---------------------------------------------------------------------------
 # IR nodes
 # ---------------------------------------------------------------------------

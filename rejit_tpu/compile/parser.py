@@ -58,6 +58,7 @@ class _Parser:
         self.p = pattern
         self.i = 0
         self.n = len(pattern)
+        self.fold = False  # '(?i)' ASCII case-insensitive flag
 
     # -- low-level cursor ---------------------------------------------------
 
@@ -81,10 +82,24 @@ class _Parser:
     # -- grammar ------------------------------------------------------------
 
     def parse(self) -> ir.Re:
+        # Inline flags: only the pattern-level '(?i)' prefix is supported
+        # (ASCII case-insensitive matching, docs/SEMANTICS.md). Folding is
+        # applied as atoms are built — for negated classes the fold must
+        # close the POSITIVE set before negation (python re/RE2 semantics:
+        # (?i)[^a-y] still rejects 'B').
+        while self.p[self.i : self.i + 4] == b"(?i)":
+            self.fold = True
+            self.i += 4
         node = self.alternation()
         if self.i != self.n:
             raise self.error(f"unexpected {chr(self.p[self.i])!r}")
         return node
+
+    def _lit_byte(self, b: int) -> ir.Re:
+        """A literal byte atom, case-folded to a 2-byte class if cased."""
+        if self.fold and ir.bitmap_casefold(ir.bit(b)) != ir.bit(b):
+            return ir.CharClass(ir.bit(b) | ir.bit(b ^ 0x20))
+        return ir.Lit(bytes([b]))
 
     def alternation(self) -> ir.Re:
         options = [self.concat()]
@@ -174,6 +189,12 @@ class _Parser:
         if c == ord("$"):
             return ir.Assert("eol")
         if c == ord("("):
+            if self.peek() == ord("?"):
+                raise self.error(
+                    "unsupported (?...) construct: no captures/lookaround; "
+                    "the only inline flag is '(?i)' at pattern start",
+                    self.i - 1,
+                )
             node = self.alternation()
             if not self.eat(ord(")")):
                 raise self.error("missing )")
@@ -187,7 +208,7 @@ class _Parser:
         if c == ord(")"):
             raise self.error("unbalanced )", self.i - 1)
         # '{' reaching here was rejected as a quantifier => literal.
-        return ir.Lit(bytes([c]))
+        return self._lit_byte(c)
 
     def _escape_atom(self) -> ir.Re:
         if self.i >= self.n:
@@ -199,7 +220,7 @@ class _Parser:
             return ir.Assert("nwb")
         if c in _CLASS_ESCAPES:
             return ir.CharClass(_CLASS_ESCAPES[c])
-        return ir.Lit(bytes([self._escape_byte(c)]))
+        return self._lit_byte(self._escape_byte(c))
 
     def _escape_byte(self, c: int) -> int:
         """Resolve an escape that must denote a single byte."""
@@ -255,6 +276,8 @@ class _Parser:
                 bitmap |= ir.bitmap_from_ranges((lo, hi))
             else:
                 bitmap |= ir.bit(lo)
+        if self.fold:
+            bitmap = ir.bitmap_casefold(bitmap)  # close BEFORE negation
         if negate:
             bitmap = ir.bitmap_negate(bitmap)
         if bitmap == 0:

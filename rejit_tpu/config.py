@@ -32,6 +32,10 @@ class Config:
     # (\b?[class]{lo,hi}LIT\b? run + literal suffix), 'dfa', 'oracle'.
     engine: Optional[str] = None
 
+    # ASCII case-insensitive matching: equivalent to prefixing every
+    # pattern with '(?i)' (docs/SEMANTICS.md "Inline flags").
+    ignore_case: bool = False
+
     # Text block size for the blocked DFA scan (bytes per block).
     block_size: int = 32
 
@@ -123,6 +127,7 @@ class Config:
     def from_env(**overrides) -> "Config":
         base = Config(
             engine=os.environ.get("REJIT_TPU_ENGINE") or None,
+            ignore_case=_env_bool("REJIT_TPU_IGNORE_CASE", False),
             block_size=_env_int("REJIT_TPU_BLOCK_SIZE", 32),
             use_ff=_env_bool("REJIT_TPU_USE_FF", True),
             force_ff=_env_bool("REJIT_TPU_FORCE_FF", False),

@@ -84,6 +84,30 @@ def test_literal_engine_matches_oracle(lits, text):
     assert p.match_all_count(text) == orc.match_all_count(text), (pat, text)
 
 
+_CASED_TEXTS = st.text(alphabet=_ALPHABET + _ALPHABET.upper() + "\n",
+                       max_size=40).map(lambda s: s.encode())
+
+
+@settings(max_examples=60, deadline=None)
+@given(pat=patterns(), text=_CASED_TEXTS)
+def test_ignore_case_matches_oracle(pat, text):
+    """(?i) pattern: engine vs oracle on mixed-case text, plus the
+    invariant that (?i) spans on text == plain spans on text.lower()
+    (true because folding never changes match WIDTHS for this grammar)."""
+    try:
+        p = Pattern("(?i)" + pat, Config(engine="dfa", block_size=8))
+    except Exception:
+        return
+    orc = oracle.OraclePattern("(?i)" + pat)
+    assert p.match_all(text) == orc.match_all(text), (pat, text)
+    lower = text.lower()
+    try:
+        plain = Pattern(pat, Config(engine="dfa", block_size=8))
+    except Exception:
+        return
+    assert p.match_all(text) == plain.match_all(lower), (pat, text)
+
+
 @given(pat=patterns(), data=st.data())
 @settings(deadline=None, max_examples=60)
 def test_chunk_skip_analysis_sound(pat, data):

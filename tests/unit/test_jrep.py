@@ -68,6 +68,14 @@ def test_regex_pattern(tree):
     assert r.stdout.strip() == "2:needle here"
 
 
+def test_ignore_case_flag(tree):
+    r = run_jrep(["-i", "NEEDLE", str(tree / "a.txt")])
+    assert r.returncode == 0
+    assert r.stdout.strip() == "needle here"
+    r2 = run_jrep(["NEEDLE", str(tree / "a.txt")])
+    assert r2.returncode == 1
+
+
 def test_line_info_windowed_matches_full():
     import numpy as np
 

@@ -246,6 +246,19 @@ add(r"\b[a-z]{66,132}\b",
     b"m" * 132 + b" " + b"n" * 65 + b" " + b"o" * 100,
     "Q=134 above the old 128 cap")
 
+# Round-4 additions: ASCII case-insensitive matching — the '(?i)' prefix
+# flag (docs/SEMANTICS.md "Inline flags"); negated classes fold the
+# positive set BEFORE negation.
+add("(?i)packet", b"A Packet PACKET pAcKeT packet!", "(?i) literal")
+add("(?i)foo|bar", b"FOO Bar bAz fOo", "(?i) alt literals")
+add("(?i)[a-f]+", b"AbC dEf GHI xyz abf", "(?i) class run")
+add(r"(?i)\bING\b", b"ing ING InG kings", "(?i) wb literal")
+add("(?i)[^a-y]+", b"aBcZz!Qq", "(?i) negated class folds pre-negation")
+add("(?i)x{2,4}", b"xX XXX xxxxx XxXxXx", "(?i) bounded repeat")
+add([r"(?i)if|else", r"(?i)[a-z]+", r"\d+", r"\s+"],
+    b"IF x1 Else 99 WHILE", "(?i) tokenizer mix")
+add(r"(?i)\x41+", b"aAbBAa", "(?i) folds escaped letter bytes")
+
 # Binary-safe scanning: NUL and high bytes are ordinary input bytes.
 add(r"\w+", b"ab\x00cd\x00\x00ef", "NUL bytes split words")
 add("a", b"\x00a\x00a\x00", "literal among NULs")

@@ -109,6 +109,7 @@ def main(argv=None) -> int:
     ap.add_argument("-l", action="store_true", dest="files_only")
     ap.add_argument("-n", action="store_true", dest="line_numbers")
     ap.add_argument("-q", action="store_true", dest="quiet")
+    ap.add_argument("-i", action="store_true", dest="ignore_case")
     ap.add_argument("--count-matches", action="store_true")
     ap.add_argument("--engine", default=None)
     ap.add_argument(
@@ -133,7 +134,10 @@ def main(argv=None) -> int:
 
     from rejit_tpu import Config, Pattern
 
-    cfg = Config.from_env(engine=args.engine) if args.engine else Config.from_env()
+    overrides = {"engine": args.engine} if args.engine else {}
+    if args.ignore_case:
+        overrides["ignore_case"] = True
+    cfg = Config.from_env(**overrides)
     pat = Pattern(args.pattern, cfg)
 
     any_match = False
