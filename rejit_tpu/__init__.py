@@ -32,6 +32,7 @@ from .api import (  # noqa: F401
     replace_all,
     replace_each,
     replace_first,
+    split,
     stage,
 )
 from .config import Config  # noqa: F401

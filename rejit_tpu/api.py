@@ -1292,6 +1292,27 @@ class Pattern:
                      self.last_stats.device_time_s, t_all.elapsed)
         return got
 
+    def split(self, text: TextLike, maxsplit: int = 0) -> List[bytes]:
+        """Split `text` by MatchAll spans (python re.split without
+        captures). Zero-width matches split too (re >= 3.7 semantics);
+        `maxsplit > 0` caps the number of splits."""
+        t = text_to_u8(text)
+        with Timer() as t_all:
+            data = t.tobytes()
+            out = []
+            pos = 0
+            n_m = 0
+            for s, e in self.match_all(t):
+                if maxsplit and n_m >= maxsplit:
+                    break
+                out.append(data[pos:s])
+                pos = e
+                n_m += 1
+            out.append(data[pos:])
+        self._record("split", len(t), n_m,
+                     self.last_stats.device_time_s, t_all.elapsed)
+        return out
+
 
 @functools.lru_cache(maxsize=256)
 def _cached(source: Tuple[bytes, ...], config: Config) -> Pattern:
@@ -1340,6 +1361,10 @@ def replace_first(pattern, text, repl, config: Config = DEFAULT) -> bytes:
 
 def replace_each(patterns, text, repls, config: Config = DEFAULT) -> bytes:
     return compile(patterns, config).replace_each(text, repls)
+
+
+def split(pattern, text, maxsplit: int = 0, config: Config = DEFAULT):
+    return compile(pattern, config).split(text, maxsplit)
 
 
 # rejit names the all-spans variant ReplaceAll (rejit:include/rejit.h,

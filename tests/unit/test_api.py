@@ -138,6 +138,25 @@ def test_replace():
     assert rejit_tpu.ReplaceAll("foo", b"a foo b", b"X") == b"a X b"
 
 
+def test_split():
+    import re as pyre
+
+    cases = [
+        (rb"\s+", b"a b  c"),
+        (b"x*", b"axbc"),       # zero-width splits (re >= 3.7 semantics)
+        (b"a*", b"baac"),
+        (b",", b"a,b,,c"),
+        (b"z", b"abc"),         # no match: one piece
+        (b"b*", b""),
+    ]
+    for pat, text in cases:
+        assert rejit_tpu.split(pat, text) == pyre.split(pat, text), pat
+    for ms in (1, 2):
+        assert Pattern(",").split(b"a,b,c", maxsplit=ms) == pyre.split(
+            b",", b"a,b,c", maxsplit=ms
+        )
+
+
 def test_tokenizer_mode():
     p = Pattern([r"\w+", r"\s+", r"[^\w\s]+"])
     orc = oracle.OraclePattern([rb"\w+", rb"\s+", rb"[^\w\s]+"])

@@ -30,6 +30,7 @@ def test_all_ops_record_stats(engine):
     _check(p, "match_all_count", lambda: p.match_all_count(TEXT))
     _check(p, "replace", lambda: p.replace(TEXT, b"X"))
     _check(p, "replace_first", lambda: p.replace_first(TEXT, b"X"))
+    _check(p, "split", lambda: p.split(TEXT))
     _check(p, "match_all_stream", lambda: p.match_all_stream(TEXT))
     _check(
         p, "match_all_count_stream", lambda: p.match_all_count_stream(TEXT)
