@@ -202,6 +202,16 @@ def run_configs(size_mb: float, which, engines="all"):
         )[0].max()
         report("config2_classrun_[a-z]+", tchain(step_cr, n), n)
 
+        # (?i) case-insensitive literal (round 4): folding turns the
+        # literal into per-byte classes, so the auto engine serves it
+        # with the fused DFA — measure that production path.
+        corpus_i = make_corpus(size, seed=3, needle=b"PackEt", density=0.002)
+        text_i = np.frombuffer(corpus_i, dtype=np.uint8)
+        pi = Pattern("(?i)packet", _dfa_cfg())
+        report("config2_fused_(?i)packet",
+               tchain(_fused_step(pi, text_i, jax, jnp), n), n,
+               f"Q={pi.tables.n_states}")
+
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
         # Plant real matches: the word corpus contains NO \w+ing words, so

@@ -29,3 +29,10 @@ for s, e in p.match_all(text)[:3]:
 # Tokenizer mode: ordered pattern list, ids in results.
 tok = Pattern([r"\w+", r"\s+", r"[^\w\s]+"])
 print(tok.tokenize("hi, there!")[:5])
+
+# Case-insensitive matching: '(?i)' prefix or Config(ignore_case=True).
+print(rejit_tpu.match_all("(?i)FOX", text))            # [(16, 19)]
+print(Pattern("THE", rejit_tpu.Config(ignore_case=True)).match_all_count(text))
+
+# Split (python re.split semantics, byte pieces).
+print(rejit_tpu.split(r"\s+", "a b  c"))               # [b'a', b'b', b'c']
