@@ -161,29 +161,33 @@ def measure_child() -> dict:
     count_bps = n / best_count
 
     # ---- headline: SPAN-PRODUCING MatchAll, all on device ----------------
-    # The spans program is L/I production + the gather-free per-row
-    # candidate extraction (engine/spans.extract_rows_device; the old
-    # jnp.nonzero compaction measured ~94 ms/10 MB — sort-bound on TPU).
+    # The spans program is candidate-mask production + the gather-free
+    # monotone-threshold peel (engine/spans.extract_rows_fixed). For a
+    # fixed-width overlap-free literal the 1-byte mask is the complete
+    # match description (end = start + width), 1/8 the HBM footprint of
+    # the (L, I) pair the general path peels — the peel is HBM-bound on
+    # its root operand (bench/NOTES.md round 4; the packed-key form of
+    # this program measured 12.2 GB/s, the old jnp.nonzero compaction
+    # ~94 ms/10 MB).
     from rejit_tpu.engine import spans as spans_mod
 
     ROW_W = 256
+    W = len(NEEDLE)
+    assert p.info.overlap_free and p.info.min_len == p.info.max_len == W
 
-    def l_i(nv):
-        return lk.literal_l_arrays_device(
-            ext, nv, lits=p.info.literals, pids=p.info.literal_pids, P=P
-        )
+    def mask_fn(nv):
+        return lk.literal_mask_device(ext, nv, lits=p.info.literals, P=P)
 
-    L, I = l_i(n_dev)
+    L, _I = lk.literal_l_arrays_device(
+        ext, n_dev, lits=p.info.literals, pids=p.info.literal_pids, P=P
+    )
     mx = int(spans_mod.row_max_count(L, row_w=ROW_W))
     cap = 2
     while cap < mx:
         cap *= 2
-    assert p.info.overlap_free and p.info.max_len is not None
-    EBITS = (ROW_W + p.info.max_len).bit_length()
-    s_d, e_d, cnts = spans_mod.extract_rows_packed(
-        L, row_w=ROW_W, row_cap=cap, ebits=EBITS
+    s_d, cnts = spans_mod.extract_rows_fixed(
+        mask_fn(n_dev), row_w=ROW_W, row_cap=cap
     )
-    pid_d = jnp.where(s_d >= 0, 0, -1)
     # Span parity vs the host path BEFORE timing (VERDICT r1 #2).
     hs, he, hp = p.match_all_arrays(text)
     sp_ = np.asarray(s_d).ravel()
@@ -191,8 +195,8 @@ def measure_child() -> dict:
     k = int(keep.sum())
     assert k == len(hs) == expected, (k, len(hs), expected)
     assert np.array_equal(sp_[keep], hs)
-    assert np.array_equal(np.asarray(e_d).ravel()[keep], he)
-    assert np.array_equal(np.asarray(pid_d).ravel()[keep], hp)
+    assert np.array_equal(sp_[keep] + W, he)
+    assert np.array_equal(np.zeros(k, dtype=hp.dtype), hp)
     log(f"device spans == host spans == {k} matches (verified)")
 
     @functools.partial(jax.jit, static_argnames=("reps",))
@@ -201,14 +205,15 @@ def measure_child() -> dict:
             # (c - expected_checksum) & 1 == 0 every iteration, but XLA
             # cannot fold it, so the scan body depends on the carry and
             # every rep executes the full spans-out program.
-            L, I = l_i(nv + ((c - exp_ck) & 1))
-            s, e, kk = spans_mod.extract_rows_packed(
-                L, row_w=ROW_W, row_cap=cap, ebits=EBITS
+            m = mask_fn(nv + ((c - exp_ck) & 1))
+            s, kk = spans_mod.extract_rows_fixed(
+                m, row_w=ROW_W, row_cap=cap
             )
             valid = s >= 0
+            # Checksum over (start, end = start + W, counts).
             ck = (
-                jnp.sum(jnp.where(valid, s, 0), dtype=jnp.int32)
-                + jnp.sum(jnp.where(valid, e, 0), dtype=jnp.int32)
+                2 * jnp.sum(jnp.where(valid, s, 0), dtype=jnp.int32)
+                + W * jnp.sum(valid, dtype=jnp.int32)
                 + jnp.sum(kk, dtype=jnp.int32)
             )
             return ck, None
@@ -217,8 +222,8 @@ def measure_child() -> dict:
 
     # Same int32 wraparound arithmetic as the device checksum.
     raw = (
-        int(np.sum(sp_[keep], dtype=np.int64))
-        + int(np.sum(np.asarray(e_d).ravel()[keep], dtype=np.int64))
+        2 * int(np.sum(sp_[keep], dtype=np.int64))
+        + k * W
         + int(np.sum(np.asarray(cnts), dtype=np.int64))
     ) & 0xFFFFFFFF
     exp_int = raw - (1 << 32) if raw >= (1 << 31) else raw

@@ -137,23 +137,67 @@ def extract_rows_packed(
     base = jnp.arange(R, dtype=jnp.int32)[:, None] * row_w
     mask = rows_L >= 0
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    packed = (lane << ebits) | (rows_L - base)       # end_rel >= 0
     BIG = jnp.int32(1 << 30)
     EMASK = (1 << ebits) - 1
+    # Invalid slots are baked to BIG once; the peel then needs ONE root
+    # operand per round. Keys are strictly increasing in lane, so a
+    # monotone threshold replaces the per-round mask rewrite (measured
+    # round 4: the rewrite was a third of the peel's HBM traffic).
+    packed = jnp.where(mask, (lane << ebits) | (rows_L - base), BIG)
+    prev = jnp.full(R, -1, jnp.int32)
     pos_o, end_o = [], []
     for _ in range(row_cap):
-        cand = jnp.where(mask, packed, BIG)
-        m = jnp.min(cand, axis=1)                    # (R,)
+        m = jnp.min(
+            jnp.where(packed > prev[:, None], packed, BIG), axis=1
+        )
         got = m < BIG
         lane_m = m >> ebits
         pos_o.append(jnp.where(got, base[:, 0] + lane_m, -1))
         end_o.append(jnp.where(got, base[:, 0] + (m & EMASK), -1))
-        mask = mask & (lane != lane_m[:, None])
+        prev = jnp.where(got, m, BIG)
     return (
         jnp.stack(pos_o, axis=1),
         jnp.stack(end_o, axis=1),
         counts,
     )
+
+
+def extract_rows_fixed(
+    mask: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8
+):
+    """extract_rows_packed specialized to a FIXED-WIDTH candidate-start
+    mask (kernels/literal.literal_mask_device): ends are start + width, so
+    the peel operates on the 1-byte mask alone. The peel is HBM-bound on
+    its root operands (measured round 4: the packed-int32 peel re-reads
+    ~40 MB/10 MB-text per round); a bool root cuts that 4-8x. The lane
+    iota is fused into the row-min reduce, never materialized.
+
+    Returns (pos, counts): pos (R, row_cap) int32 start positions (-1 =
+    none), counts (R,) exact per-row candidate counts (> row_cap means
+    the caller must re-run with a larger cap).
+    """
+    n = mask.shape[0]
+    R = -(-n // row_w)
+    padm = jnp.zeros(R * row_w - n, mask.dtype)
+    rows = jnp.concatenate([mask, padm]).reshape(R, row_w) != 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, row_w), 1)
+    base = jnp.arange(R, dtype=jnp.int32)[:, None] * row_w
+    counts = jnp.sum(rows, axis=1, dtype=jnp.int32)
+    BIG = jnp.int32(1 << 30)
+    # Monotone-threshold peel: each round's row-min lane is strictly
+    # increasing, so round r reads the ORIGINAL mask and filters
+    # `lane > m_{r-1}` — no per-round mask rewrite (the rewrite doubled
+    # the peel's HBM traffic; measured round 4).
+    prev = jnp.full(R, -1, jnp.int32)
+    pos_o = []
+    for _ in range(row_cap):
+        m = jnp.min(
+            jnp.where(rows & (lane > prev[:, None]), lane, BIG), axis=1
+        )
+        got = m < BIG
+        pos_o.append(jnp.where(got, base[:, 0] + m, -1))
+        prev = jnp.where(got, m, BIG)
+    return jnp.stack(pos_o, axis=1), counts
 
 
 @jax.jit

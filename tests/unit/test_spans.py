@@ -48,3 +48,60 @@ def test_candidates_host_packed_path():
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_extract_rows_fixed_matches_packed():
+    """Fixed-width mask peel (round-4 headline program) == the packed-key
+    extraction on the same candidates, across row widths and caps."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rejit_tpu.engine import spans
+    from rejit_tpu.kernels import literal as lk
+
+    rng = np.random.default_rng(11)
+    n = 7003
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in rng.integers(0, n - 6, size=200):
+        text[p : p + 6] = np.frombuffer(b"packet", np.uint8)
+    ext = jnp.asarray(lk.extend_pad(text, n, 6))
+    mask = lk.literal_mask_device(
+        ext, jnp.int32(n), lits=(b"packet",), P=n
+    )
+    L, I = lk.literal_l_arrays_device(
+        ext, jnp.int32(n), lits=(b"packet",), pids=(0,), P=n
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask), np.asarray(L)[:n] >= 0
+    )
+    for row_w in (32, 64, 256):
+        mx = int(spans.row_max_count(L, row_w=row_w))
+        cap = 2
+        while cap < mx:
+            cap *= 2
+        pos_f, cnt_f = spans.extract_rows_fixed(
+            mask, row_w=row_w, row_cap=cap
+        )
+        s_p, _e, cnt_p = spans.extract_rows_packed(
+            L, row_w=row_w, row_cap=cap, ebits=(row_w + 6).bit_length()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pos_f).ravel(), np.asarray(s_p).ravel()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cnt_f), np.asarray(cnt_p)[: len(np.asarray(cnt_f))]
+        )
+
+
+def test_extract_rows_fixed_counts_exact_past_cap():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rejit_tpu.engine import spans
+
+    mask = jnp.asarray(np.ones(64, dtype=bool))
+    pos, cnt = spans.extract_rows_fixed(mask, row_w=32, row_cap=2)
+    assert np.asarray(cnt).tolist() == [32, 32]  # exact beyond cap
+    np.testing.assert_array_equal(np.asarray(pos), [[0, 1], [32, 33]])
