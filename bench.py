@@ -161,14 +161,16 @@ def measure_child() -> dict:
     count_bps = n / best_count
 
     # ---- headline: SPAN-PRODUCING MatchAll, all on device ----------------
-    # The spans program is candidate-mask production + the gather-free
-    # monotone-threshold peel (engine/spans.extract_rows_fixed). For a
-    # fixed-width overlap-free literal the 1-byte mask is the complete
-    # match description (end = start + width), 1/8 the HBM footprint of
-    # the (L, I) pair the general path peels — the peel is HBM-bound on
-    # its root operand (bench/NOTES.md round 4; the packed-key form of
-    # this program measured 12.2 GB/s, the old jnp.nonzero compaction
-    # ~94 ms/10 MB).
+    # The spans program is bit-PACKED candidate-mask production
+    # (kernels/literal.literal_mask_packed_device — XLA fuses the shifted
+    # compares into the pack reduction, the bool mask is never
+    # materialized) + the popcount peel (engine/spans.extract_rows_bitmask).
+    # For a fixed-width overlap-free literal the mask is the complete
+    # match description (end = start + width); packing shrinks the peel's
+    # root operand 32x, so all peel rounds together cost less HBM traffic
+    # than one pass over the text. Measured ladder on this corpus
+    # (bench/NOTES.md round 4): packed-(L,I) peel 12.2 GB/s -> bool-mask
+    # peel 35.8 -> bitpacked 119; count-only roofline ~560.
     from rejit_tpu.engine import spans as spans_mod
 
     ROW_W = 256
@@ -176,17 +178,18 @@ def measure_child() -> dict:
     assert p.info.overlap_free and p.info.min_len == p.info.max_len == W
 
     def mask_fn(nv):
-        return lk.literal_mask_device(ext, nv, lits=p.info.literals, P=P)
+        return lk.literal_mask_packed_device(
+            ext, nv, lits=p.info.literals, P=P, row_w=ROW_W
+        )
 
-    L, _I = lk.literal_l_arrays_device(
-        ext, n_dev, lits=p.info.literals, pids=p.info.literal_pids, P=P
-    )
-    mx = int(spans_mod.row_max_count(L, row_w=ROW_W))
+    words0 = mask_fn(n_dev)
+    _, cnt0 = spans_mod.extract_rows_bitmask(words0, row_w=ROW_W, row_cap=1)
+    mx = int(jnp.max(cnt0))
     cap = 2
     while cap < mx:
         cap *= 2
-    s_d, cnts = spans_mod.extract_rows_fixed(
-        mask_fn(n_dev), row_w=ROW_W, row_cap=cap
+    s_d, cnts = spans_mod.extract_rows_bitmask(
+        words0, row_w=ROW_W, row_cap=cap
     )
     # Span parity vs the host path BEFORE timing (VERDICT r1 #2).
     hs, he, hp = p.match_all_arrays(text)
@@ -206,7 +209,7 @@ def measure_child() -> dict:
             # cannot fold it, so the scan body depends on the carry and
             # every rep executes the full spans-out program.
             m = mask_fn(nv + ((c - exp_ck) & 1))
-            s, kk = spans_mod.extract_rows_fixed(
+            s, kk = spans_mod.extract_rows_bitmask(
                 m, row_w=ROW_W, row_cap=cap
             )
             valid = s >= 0

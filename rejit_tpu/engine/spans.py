@@ -200,6 +200,50 @@ def extract_rows_fixed(
     return jnp.stack(pos_o, axis=1), counts
 
 
+def extract_rows_bitmask(
+    words: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8
+):
+    """extract_rows_fixed over a bit-PACKED candidate mask
+    (kernels/literal.literal_mask_packed_device): words is (Wtot,) uint32,
+    bit i of word j = candidate at position 32*j + i.
+
+    The peel's root operand shrinks 32x vs the bool mask, so all
+    `row_cap` rounds together read less HBM than one pass over the text:
+    each round takes the per-word lowest set bit (w & -w, indexed via
+    popcount(lsb - 1)), row-mins across the row's words, and clears the
+    chosen bit with w & (w - 1). Empty words need no special case:
+    lsb - 1 wraps to 0xffffffff (popcount 32) and is masked by w != 0.
+
+    Returns (pos, counts) with the same contract as extract_rows_fixed:
+    pos (R, row_cap) int32 starts (-1 = none) in increasing order per
+    row, counts (R,) exact per-row candidate counts (exact even past
+    row_cap)."""
+    W = row_w // 32
+    Wtot = words.shape[0]
+    assert Wtot % W == 0, (Wtot, W)
+    R = Wtot // W
+    w = words.reshape(R, W)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    wbase = widx * 32
+    base = jnp.arange(R, dtype=jnp.int32) * row_w
+    counts = jnp.sum(
+        jax.lax.population_count(w).astype(jnp.int32), axis=1
+    )
+    BIG = jnp.int32(1 << 30)
+    one = jnp.uint32(1)
+    pos_o = []
+    for _ in range(row_cap):
+        lsb = w & (~w + one)
+        idx = jax.lax.population_count(lsb - one).astype(jnp.int32)
+        key = jnp.where(w != 0, wbase + idx, BIG)
+        m = jnp.min(key, axis=1)                     # (R,)
+        got = m < BIG
+        pos_o.append(jnp.where(got, base + m, -1))
+        chosen = got[:, None] & (widx == (m[:, None] >> 5))
+        w = jnp.where(chosen, w & (w - one), w)
+    return jnp.stack(pos_o, axis=1), counts
+
+
 @jax.jit
 def partition_select_mask(L: jnp.ndarray, I: jnp.ndarray) -> jnp.ndarray:
     """Elementwise non-overlap selection for run-partition pattern sets

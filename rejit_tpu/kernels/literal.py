@@ -64,6 +64,40 @@ def literal_mask_device(
     return m & (pos <= n - len(lits[0]))
 
 
+@functools.partial(jax.jit, static_argnames=("lits", "P", "row_w"))
+def literal_mask_packed_device(
+    text_ext: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    lits: Tuple[bytes, ...],
+    P: int,
+    row_w: int = 256,
+) -> jnp.ndarray:
+    """Bit-PACKED candidate-start mask for equal-length literal sets:
+    (ceil(P/row_w)*row_w/32,) uint32, bit i of word j = candidate at
+    position 32*j + i.
+
+    The extraction peel (engine/spans.extract_rows_bitmask) is HBM-bound
+    on its root operand; packing shrinks that operand 32x vs the bool
+    mask (256x vs the (L, I) pair), so all peel rounds together cost less
+    HBM traffic than one pass over the text. XLA fuses the shifted
+    compares into the pack reduction — the bool mask is never
+    materialized."""
+    assert len({len(l) for l in lits}) == 1, "fixed width required"
+    assert row_w % 32 == 0, row_w
+    pos = jnp.arange(P, dtype=jnp.int32)
+    m = jnp.zeros(P, dtype=bool)
+    for lit in lits:
+        m = m | _hit_mask(text_ext, P, lit)
+    m = m & (pos <= n - len(lits[0]))
+    Ppad = -(-P // row_w) * row_w
+    m = jnp.concatenate([m, jnp.zeros(Ppad - P, dtype=bool)])
+    bits = m.reshape(-1, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )
+    return jnp.sum(bits, axis=1, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("lits", "pids", "P"))
 def literal_l_arrays_device(
     text_ext: jnp.ndarray,

@@ -94,6 +94,74 @@ def test_extract_rows_fixed_matches_packed():
         )
 
 
+def test_extract_rows_bitmask_matches_fixed():
+    """Bitpacked peel == the bool-mask peel on random masks across
+    densities, row widths, and caps (incl. counts past cap)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rejit_tpu.engine import spans
+
+    rng = np.random.default_rng(7)
+    for density in (0.0, 0.01, 0.3, 1.0):
+        for row_w in (32, 64, 256):
+            n = 4 * row_w + row_w  # multiple of row_w
+            m = rng.random(n) < density
+            words = np.zeros(n // 32, dtype=np.uint32)
+            for i in np.flatnonzero(m):
+                words[i // 32] |= np.uint32(1) << np.uint32(i % 32)
+            for cap in (1, 4, 8):
+                pos_b, cnt_b = spans.extract_rows_bitmask(
+                    jnp.asarray(words), row_w=row_w, row_cap=cap
+                )
+                pos_f, cnt_f = spans.extract_rows_fixed(
+                    jnp.asarray(m), row_w=row_w, row_cap=cap
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(pos_b), np.asarray(pos_f)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(cnt_b), np.asarray(cnt_f)
+                )
+
+
+def test_literal_mask_packed_matches_bool():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rejit_tpu.engine import spans
+    from rejit_tpu.kernels import literal as lk
+
+    rng = np.random.default_rng(3)
+    n = 5000  # not a multiple of row_w: exercises the pad
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in rng.integers(0, n - 6, size=120):
+        text[p : p + 6] = np.frombuffer(b"packet", np.uint8)
+    ext = jnp.asarray(lk.extend_pad(text, n, 6))
+    words = lk.literal_mask_packed_device(
+        ext, jnp.int32(n), lits=(b"packet",), P=n, row_w=256
+    )
+    mask = np.asarray(
+        lk.literal_mask_device(ext, jnp.int32(n), lits=(b"packet",), P=n)
+    )
+    got = np.zeros(len(np.asarray(words)) * 32, dtype=bool)
+    w = np.asarray(words)
+    for i in range(32):
+        got[i::32] = (w >> np.uint32(i)) & 1
+    ref = np.zeros_like(got)
+    ref[:n] = mask
+    np.testing.assert_array_equal(got, ref)
+    # End-to-end: packed peel == host spans (cap sized from exact counts)
+    _, cnt0 = spans.extract_rows_bitmask(words, row_w=256, row_cap=1)
+    cap = int(np.asarray(cnt0).max())
+    pos, cnt = spans.extract_rows_bitmask(words, row_w=256, row_cap=cap)
+    sp = np.asarray(pos).ravel()
+    sp = sp[sp >= 0]
+    np.testing.assert_array_equal(sp, np.flatnonzero(mask))
+
+
 def test_extract_rows_fixed_counts_exact_past_cap():
     import numpy as np
 
