@@ -820,6 +820,81 @@ class Pattern:
             self.engine == "literal"
             and self.info.overlap_free
             and corpus is None
+            and self.config.bitmask != "off"
+            and self.info.min_len == self.info.max_len
+        ):
+            # Bitpacked spans-out program (the headline bench path): the
+            # candidate-start mask is packed 32 positions/uint32 inside
+            # the match fusion and peeled with popcount bit tricks
+            # (engine/spans.extract_rows_bitmask). For fixed-width
+            # overlap-free sets the mask fully describes matches
+            # (end = start + width); distinct equal-length literals can
+            # never hit the same start, so pattern ids decode uniquely
+            # from the text at the match starts. Measured 119 GB/s
+            # on-chip vs the fused Pallas kernel's 2.9 (bench/NOTES.md
+            # round 4); pure XLA, every backend.
+            from .kernels import literal as lk
+
+            Wd = self.info.max_len
+            ROW_W = 256
+            with Timer() as t_all:
+                n = len(t)
+                with Timer() as t_dev:
+                    ext = jnp.asarray(lk.extend_pad(t, n, Wd))
+                    words = lk.literal_mask_packed_device(
+                        ext, jnp.int32(n), lits=self.info.literals,
+                        P=n, row_w=ROW_W,
+                    )
+                    cap = 4
+                    while True:
+                        pos_d, cnt = spans.extract_rows_bitmask(
+                            words, row_w=ROW_W, row_cap=cap
+                        )
+                        mx = int(jnp.max(cnt)) if cnt.shape[0] else 0
+                        if mx <= cap:
+                            break
+                        # pos_d is truncated at the cap used for THIS
+                        # call; enlarge and re-run before decoding.
+                        while cap < mx:
+                            cap *= 2
+                    n_cand = int(jnp.sum(cnt))
+                with Timer() as t_sel:
+                    sp = np.asarray(pos_d).ravel().astype(np.int64)
+                    sp = sp[sp >= 0]
+                    ends = sp + Wd
+                    pids = np.zeros(len(sp), dtype=np.int64)
+                    if len(set(self.info.literal_pids)) > 1:
+                        pids[:] = -1
+                        order = sorted(
+                            range(len(self.info.literals)),
+                            key=lambda i: self.info.literal_pids[i],
+                        )
+                        for i in order:
+                            lit = np.frombuffer(
+                                self.info.literals[i], np.uint8
+                            )
+                            hit = pids < 0
+                            for j in range(Wd):
+                                hit &= t[sp + j] == lit[j]
+                            pids[hit] = self.info.literal_pids[i]
+                    else:
+                        pids[:] = self.info.literal_pids[0]
+                    out = (sp, ends, pids)
+            self.last_stats = MatchStats(
+                engine=self.engine,
+                op="match_all",
+                n_bytes=len(t),
+                n_candidates=n_cand,
+                n_matches=len(sp),
+                device_time_s=t_dev.elapsed,
+                select_time_s=t_sel.elapsed,
+                total_time_s=t_all.elapsed,
+            )
+            return out
+        if (
+            self.engine == "literal"
+            and self.info.overlap_free
+            and corpus is None
             and self.config.pallas != "off"
             and (self.config.interpret or self._use_pallas())
             and max(len(l) for l in self.info.literals) <= 128

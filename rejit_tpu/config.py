@@ -76,6 +76,15 @@ class Config:
     # so it is opt-in (lower this threshold to re-enable).
     device_select_threshold: int = 1 << 31
 
+    # Bitpacked spans-out program for FIXED-WIDTH overlap-free literal
+    # sets (kernels/literal.literal_mask_packed_device +
+    # engine/spans.extract_rows_bitmask): the candidate mask is packed
+    # 32 starts/uint32 inside the match fusion and matches are peeled
+    # with popcount bit tricks — measured 119 GB/s on-chip vs the fused
+    # Pallas kernel's 2.9 (bench/NOTES.md round 4). Pure XLA, works on
+    # every backend. 'auto' (= on), or 'off'.
+    bitmask: str = "auto"
+
     # Fused Pallas kernels for the DFA byte-stepping phases:
     # 'auto' (on TPU backends), 'on', or 'off'.
     pallas: str = "auto"
@@ -140,6 +149,7 @@ class Config:
                 "REJIT_TPU_DEVICE_SELECT_THRESHOLD", 1 << 31
             ),
             first_window=_env_int("REJIT_TPU_FIRST_WINDOW", 1 << 20),
+            bitmask=os.environ.get("REJIT_TPU_BITMASK", "auto"),
             pallas=os.environ.get("REJIT_TPU_PALLAS", "auto"),
             matmul=os.environ.get("REJIT_TPU_MATMUL", "off"),
             schain=os.environ.get("REJIT_TPU_SCHAIN", "auto"),

@@ -152,13 +152,59 @@ def test_api_fused_literal_spans_dense_cap_resize():
     # Overlap-free 2-byte literal every 8 bytes: CHL/8 hits per row >> 4.
     for p in range(0, n - 2, 8):
         text[p : p + 2] = np.frombuffer(b"zq", np.uint8)
-    pf = Pattern("zq|vw", Config(interpret=True, pallas="on"))
+    # bitmask="off": fixed-width sets otherwise route to the bitpacked
+    # branch ahead of the Pallas one (api.match_all_arrays ordering).
+    pf = Pattern("zq|vw", Config(interpret=True, pallas="on", bitmask="off"))
     assert pf.engine == "literal" and pf.info.overlap_free
     gs, ge, gp = pf.match_all_arrays(text)
     assert pf.last_stats.n_matches == pf.last_stats.n_candidates
-    pd = Pattern("zq|vw", Config(pallas="off"))
+    pd = Pattern("zq|vw", Config(pallas="off", bitmask="off"))
     es, ee, ep = pd.match_all_arrays(text)
     assert len(es) >= n // 8 - 8
     np.testing.assert_array_equal(gs, es)
     np.testing.assert_array_equal(ge, ee)
     np.testing.assert_array_equal(gp, ep)
+
+
+def test_api_bitmask_literal_spans_dense():
+    """The bitpacked fixed-width branch (api.match_all_arrays, round 4):
+    dense matches force its cap-resize loop; multi-pattern ids decode
+    from the text at match starts. Differential vs the XLA (L, I) path."""
+    from rejit_tpu import Config, Pattern
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in range(0, n - 2, 8):
+        lit = b"zq" if (p // 8) % 2 else b"vw"
+        text[p : p + 2] = np.frombuffer(lit, np.uint8)
+    pb = Pattern(["zq", "vw"])  # tokenizer mode: pids 0, 1
+    assert pb.engine == "literal" and pb.info.overlap_free
+    assert pb.info.min_len == pb.info.max_len == 2
+    gs, ge, gp = pb.match_all_arrays(text)
+    assert pb.last_stats.op == "match_all"
+    assert pb.last_stats.n_matches == len(gs) >= n // 8 - 8
+    pd = Pattern(["zq", "vw"], Config(pallas="off", bitmask="off"))
+    es, ee, ep = pd.match_all_arrays(text)
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
+    assert set(np.unique(gp)) == {0, 1}
+
+
+def test_api_bitmask_edge_texts():
+    """Bitpacked branch edge cases: empty text, text shorter than the
+    literal, match at position 0 and at end-of-text."""
+    from rejit_tpu import Pattern
+
+    p = Pattern("packet")
+    assert p.info.min_len == p.info.max_len == 6
+    s, e, i = p.match_all_arrays(np.frombuffer(b"", np.uint8))
+    assert len(s) == 0
+    s, e, i = p.match_all_arrays(np.frombuffer(b"pack", np.uint8))
+    assert len(s) == 0
+    s, e, i = p.match_all_arrays(
+        np.frombuffer(b"packetxxpacket", np.uint8)
+    )
+    np.testing.assert_array_equal(s, [0, 8])
+    np.testing.assert_array_equal(e, [6, 14])
