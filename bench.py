@@ -168,12 +168,15 @@ def measure_child() -> dict:
     # For a fixed-width overlap-free literal the mask is the complete
     # match description (end = start + width); packing shrinks the peel's
     # root operand 32x, so all peel rounds together cost less HBM traffic
-    # than one pass over the text. Measured ladder on this corpus
-    # (bench/NOTES.md round 4): packed-(L,I) peel 12.2 GB/s -> bool-mask
-    # peel 35.8 -> bitpacked 119; count-only roofline ~560.
+    # than one pass over the text. ROW_W=32 makes each row exactly one
+    # word — the peel is pure elementwise bit math, no cross-word min
+    # (and cap scales down with the row: 4 here vs 8 at ROW_W=256).
+    # Measured ladder on this corpus (bench/NOTES.md round 4):
+    # packed-(L,I) peel 12.2 GB/s -> bool-mask peel 35.8 -> bitpacked
+    # rows-of-8-words 119 -> one-word rows 175; count-only roofline ~560.
     from rejit_tpu.engine import spans as spans_mod
 
-    ROW_W = 256
+    ROW_W = 32
     W = len(NEEDLE)
     assert p.info.overlap_free and p.info.min_len == p.info.max_len == W
 

@@ -836,7 +836,11 @@ class Pattern:
             from .kernels import literal as lk
 
             Wd = self.info.max_len
-            ROW_W = 256
+            # One word per row: the peel is pure elementwise bit math
+            # (no cross-word row-min) and cap scales with the 32-byte
+            # row — measured 175 GB/s vs 119 at ROW_W=256 (bench/NOTES.md
+            # round 4).
+            ROW_W = 32
             with Timer() as t_all:
                 n = len(t)
                 with Timer() as t_dev:
