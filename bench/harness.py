@@ -161,6 +161,35 @@ def run_configs(size_mb: float, which, engines="all"):
         )[0].max()
         report("config1_literal_Larray", tchain(step2, n), n)
 
+        # bitpacked spans-out (the round-4 headline program, bench.py):
+        # packed candidate mask + popcount peel, full span extraction.
+        ROW_W = 32
+        words0 = lk.literal_mask_packed_device(
+            ext, n_dev, lits=p.info.literals, P=n, row_w=ROW_W
+        )
+        _, cnt0 = spans.extract_rows_bitmask(words0, row_w=ROW_W, row_cap=1)
+        bcap = 1
+        while bcap < int(jnp.max(cnt0)):
+            bcap *= 2
+
+        def step3(nv):
+            wd = lk.literal_mask_packed_device(
+                ext, nv, lits=p.info.literals, P=n, row_w=ROW_W
+            )
+            s, kk = spans.extract_rows_bitmask(
+                wd, row_w=ROW_W, row_cap=bcap
+            )
+            return (
+                jnp.sum(jnp.where(s >= 0, s, 0), dtype=jnp.int32)
+                + jnp.sum(kk, dtype=jnp.int32)
+            )
+
+        s0, c0 = spans.extract_rows_bitmask(words0, row_w=ROW_W, row_cap=bcap)
+        sp0 = np.asarray(s0).ravel()
+        assert int((sp0 >= 0).sum()) == corpus.count(b"packet")
+        report("config1_bitmask_spans", tchain(step3, n), n,
+               f"cap {bcap}, full span extraction")
+
     # ---- config 2: class + alternation ---------------------------------
     if 2 in which:
         corpus = make_corpus(size, seed=1, needle=b"foo", density=0.001)

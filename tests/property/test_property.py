@@ -176,3 +176,45 @@ def test_chunk_skip_analysis_sound(pat, data):
         st_, jnp.asarray(buf), jnp.int32(n), block=K
     )
     assert not np.any(np.asarray(L)[:n] >= 0), (pat, picks)
+
+
+# -- bitpacked extraction peel (round 4) -------------------------------------
+
+@given(
+    st.integers(0, 2**32 - 1).flatmap(
+        lambda seed: st.tuples(
+            st.just(seed),
+            st.floats(0.0, 1.0),
+            st.sampled_from([32, 64, 128]),
+            st.integers(33, 900),
+        )
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_extract_rows_bitmask_vs_numpy(params):
+    """extract_rows_bitmask == a trivial numpy reference on random masks:
+    per row_w-byte row, the first `cap` set positions in order, counts
+    exact past cap."""
+    import jax.numpy as jnp
+
+    from rejit_tpu.engine import spans
+
+    seed, density, row_w, n_raw = params
+    n = -(-n_raw // row_w) * row_w
+    rng = np.random.default_rng(seed)
+    m = rng.random(n) < density
+    words = np.zeros(n // 32, dtype=np.uint32)
+    for i in np.flatnonzero(m):
+        words[i // 32] |= np.uint32(1) << np.uint32(i % 32)
+    cap = int(rng.integers(1, 9))
+    pos, cnt = spans.extract_rows_bitmask(
+        jnp.asarray(words), row_w=row_w, row_cap=cap
+    )
+    pos = np.asarray(pos)
+    cnt = np.asarray(cnt)
+    R = n // row_w
+    for r in range(R):
+        hits = np.flatnonzero(m[r * row_w : (r + 1) * row_w]) + r * row_w
+        assert cnt[r] == len(hits)
+        want = list(hits[:cap]) + [-1] * (cap - min(cap, len(hits)))
+        assert pos[r].tolist() == want
