@@ -79,6 +79,21 @@ class DeviceCorpus:
             self._padded[key] = jax.device_put(jnp.asarray(pad))
         return self._padded[key], P
 
+    def padded_ext(self, min_tail: int, grain: int = 1024):
+        """Device uint8 padded to a bucketed multiple of `grain` with at
+        least `min_tail` zero bytes past n — the literal engine's staged
+        form (kernels/literal.py callers pass P = len - min_tail)."""
+        blocks = max(1, -(-(self.n + min_tail) // grain))
+        P = _bucket_blocks(blocks) * grain
+        key = (grain, P)
+        if key not in self._padded:
+            import jax
+
+            pad = np.zeros(P, dtype=np.uint8)
+            pad[: self.n] = self.host
+            self._padded[key] = jax.device_put(jnp.asarray(pad))
+        return self._padded[key], P
+
     def staged_for(self, pattern: "Pattern", K: int, CHL: int,
                    beyond_n: bool = False):
         """(tiles, sk0, start_eot, P) with the corpus-size tile array
@@ -819,7 +834,6 @@ class Pattern:
         if (
             self.engine == "literal"
             and self.info.overlap_free
-            and corpus is None
             and self.config.bitmask != "off"
             and self.info.min_len == self.info.max_len
         ):
@@ -844,10 +858,17 @@ class Pattern:
             with Timer() as t_all:
                 n = len(t)
                 with Timer() as t_dev:
-                    ext = jnp.asarray(lk.extend_pad(t, n, Wd))
+                    if corpus is not None:
+                        # Staged corpus: reuse the device-resident padded
+                        # bytes (no per-call upload) — the serving model.
+                        ext, P_arr = corpus.padded_ext(Wd)
+                        P_s = P_arr - Wd
+                    else:
+                        ext = jnp.asarray(lk.extend_pad(t, n, Wd))
+                        P_s = n
                     words = lk.literal_mask_packed_device(
                         ext, jnp.int32(n), lits=self.info.literals,
-                        P=n, row_w=ROW_W,
+                        P=P_s, row_w=ROW_W,
                     )
                     cap = 4
                     while True:
@@ -1002,10 +1023,16 @@ class Pattern:
             with Timer() as t_all:
                 n = len(t)
                 max_m = max(len(l) for l in self.info.literals)
-                P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
-                ext = literal_kernel.extend_pad(t, P, max_m)
+                if corpus is not None:
+                    ext_d, P_arr = corpus.padded_ext(max_m)
+                    P = P_arr - max_m
+                else:
+                    P = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+                    ext_d = jnp.asarray(
+                        literal_kernel.extend_pad(t, P, max_m)
+                    )
                 cnt = int(literal_kernel.literal_count_device(
-                    jnp.asarray(ext), jnp.int32(n),
+                    ext_d, jnp.int32(n),
                     lits=self.info.literals, P=P,
                 ))
             self._record("match_all_count", len(t), cnt, t_all.elapsed,

@@ -192,6 +192,32 @@ def test_api_bitmask_literal_spans_dense():
     assert set(np.unique(gp)) == {0, 1}
 
 
+def test_api_bitmask_staged_corpus():
+    """DeviceCorpus staging through the bitpacked literal branch and the
+    count reduction: same results as the unstaged path, no per-call
+    upload (round 4)."""
+    from rejit_tpu import Pattern, stage
+
+    rng = np.random.default_rng(13)
+    n = 50_000
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in range(0, n - 6, 211):
+        text[p : p + 6] = np.frombuffer(b"packet", np.uint8)
+    corpus = stage(text)
+    p = Pattern("packet")
+    gs, ge, gp = p.match_all_arrays(corpus)
+    es, ee, ep = p.match_all_arrays(text)
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
+    assert p.match_all_count(corpus) == len(es) == p.match_all_count(text)
+    # Second scan of the same corpus reuses the staged device pad.
+    assert len(corpus._padded) == 1
+    p2 = Pattern("zq")
+    _ = p2.match_all_arrays(corpus)
+    assert len(corpus._padded) <= 2  # width-2 pad may share or add one
+
+
 def test_api_bitmask_edge_texts():
     """Bitpacked branch edge cases: empty text, text shorter than the
     literal, match at position 0 and at end-of-text."""
