@@ -43,3 +43,41 @@ def test_literal_longer_than_natural_shard():
 def test_empty_and_no_hits():
     assert _count([b"xyz"], b"") == 0
     assert _count([b"xyz"], b"aaaaaaaaaaaaaaaa") == 0
+
+
+def _spans(lits, text):
+    from rejit_tpu.dist.literal import sharded_literal_spans
+
+    mesh = make_mesh()
+    return sharded_literal_spans(
+        tuple(lits), np.frombuffer(text, np.uint8), mesh
+    )
+
+
+def test_sharded_spans_boundary_straddles():
+    """Bitpacked sharded spans (round 4): needles straddling every shard
+    boundary resolve to exact absolute starts via the ppermute halo."""
+    text = bytearray(b"." * 256)
+    for b in range(32, 256, 32):
+        text[b - 3 : b + 3] = b"needle"[:6]
+    text = bytes(text)
+    got = _spans([b"need"], text)
+    want = [m[0] for m in oracle.match_all(rb"need", text)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_spans_dense_cap_resize():
+    text = (b"ab" + b"..") * 400  # a hit every 4 bytes: cap 4 < 8/row
+    got = _spans([b"ab"], bytes(text))
+    want = [m[0] for m in oracle.match_all(rb"ab", bytes(text))]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_spans_multi_literal_and_edges():
+    rng = np.random.default_rng(11)
+    text = bytearray(rng.choice(np.frombuffer(b"fobar .", np.uint8), size=777))
+    text[:2] = b"fo"  # match at position 0
+    text[-2:] = b"ba"
+    got = _spans([b"fo", b"ba"], bytes(text))
+    want = [m[0] for m in oracle.match_all(rb"fo|ba", bytes(text))]
+    np.testing.assert_array_equal(got, want)
