@@ -180,6 +180,8 @@ class Pattern:
         self.tables = None
         self.ct = None
         self._schain_static = None
+        self._classrun = None
+        self._classlit = None
         self._oracle = None
         self.last_stats: MatchStats = MatchStats()
         if self.engine == "classrun":
@@ -724,6 +726,31 @@ class Pattern:
             select_time_s=t_sel,
             total_time_s=t_all,
         )
+
+    def matches_may_contain_byte(self, b: int) -> bool:
+        """Conservative containment test: False ONLY when no match of
+        this pattern can CONSUME byte `b` (assertions like ^ $ \\b may
+        still look at it as context). Used for batched multi-text
+        scanning (tools/jrep.py): texts joined with a separator byte the
+        pattern cannot consume yield exactly the per-text matches in one
+        device call — a span crossing a join would have to consume the
+        separator."""
+        if self.engine == "literal" and self.info.literals:
+            return any(bytes([b]) in lit for lit in self.info.literals)
+        if self.engine == "classrun" and self._classrun is not None:
+            return bool(np.asarray(self._classrun[0])[b])
+        if self.engine == "classlit" and self._classlit is not None:
+            lut, _w, _lo, _hi, sfx, _lw, _tw = self._classlit
+            return bool(np.asarray(lut)[b]) or bytes([b]) in sfx
+        if self.tables is not None:
+            c = int(self.tables.class_of[b])
+            dead = self.tables.dead
+            if dead < 0:
+                return True
+            consumes = self.tables.next[:, c] != dead
+            ends_on_b = self.tables.accept[:, c] >= 0
+            return bool(consumes.any() or ends_on_b.any())
+        return True  # oracle / unknown: assume it may
 
     def match_full(self, text: TextLike) -> bool:
         t, corpus = _unwrap(text)

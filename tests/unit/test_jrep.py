@@ -106,3 +106,64 @@ def test_stream_mode(tree, tmp_path_factory):
     assert r.stdout.strip() == "3", r.stderr
     r = run_jrep(["--stream", "1", "-c", "needle", str(d / "big.txt")])
     assert r.stdout.strip() == "3", r.stderr
+
+
+# -- batched multi-file scanning (round 4) -----------------------------------
+
+@pytest.fixture(scope="module")
+def batch_tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("batchcorpus")
+    # f1 ends with 'nee', f2 begins with 'dle': a naive concatenation
+    # would fabricate a cross-file 'needle'.
+    (d / "f1.txt").write_bytes(b"first file nee")
+    (d / "f2.txt").write_bytes(b"dle second needle file\n")
+    (d / "f3.txt").write_bytes(b"end anchored$\nneedle\n")
+    return d
+
+
+def _paths(d):
+    return [str(d / n) for n in ("f1.txt", "f2.txt", "f3.txt")]
+
+
+def test_batched_no_cross_file_match(batch_tree):
+    r = run_jrep(["-n", "needle"] + _paths(batch_tree))
+    out = sorted(r.stdout.strip().splitlines())
+    assert out == sorted([
+        f"{batch_tree}/f2.txt:1:dle second needle file",
+        f"{batch_tree}/f3.txt:2:needle",
+    ])
+
+
+def test_batched_equals_per_file(batch_tree):
+    """Batched output == the same files scanned one process each."""
+    batched = run_jrep(["-c", "e"] + _paths(batch_tree)).stdout
+    singles = "".join(
+        run_jrep(["-c", "e", p]).stdout.replace("\n", "")
+        and f"{p}:{run_jrep(['-c', 'e', p]).stdout.strip()}\n"
+        for p in _paths(batch_tree)
+    )
+    assert batched == singles
+
+
+def test_batched_anchors_match_per_file_semantics(batch_tree):
+    # '^end' must match only at f3's own start-of-line, and 'file$'
+    # at f2's line end; the '\n' join separator preserves both.
+    r = run_jrep(["^end", str(batch_tree / "f2.txt"),
+                  str(batch_tree / "f3.txt")])
+    assert r.stdout.strip() == f"{batch_tree}/f3.txt:end anchored$"
+    r2 = run_jrep(["nee$", str(batch_tree / "f1.txt"),
+                   str(batch_tree / "f2.txt")])
+    # f1 has no trailing newline: 'nee' ends at its EOT -> matches $.
+    assert r2.stdout.strip() == f"{batch_tree}/f1.txt:first file nee"
+
+
+def test_batched_count_matches(batch_tree):
+    r = run_jrep(["--count-matches", "needle"] + _paths(batch_tree))
+    got = dict(
+        line.rsplit(":", 1) for line in r.stdout.strip().splitlines()
+    )
+    assert got == {
+        f"{batch_tree}/f1.txt": "0",
+        f"{batch_tree}/f2.txt": "1",
+        f"{batch_tree}/f3.txt": "1",
+    }

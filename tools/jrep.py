@@ -17,6 +17,12 @@ Usage:
   --mmap        memory-map files instead of reading
   --stream[=MB] chunked streaming MatchAll for files larger than device
                 memory (engine/stream.py; exact across chunk boundaries)
+
+Files are scanned in BATCHES (one device call for many files, joined
+with a '\n' separator) whenever the pattern provably cannot consume
+'\n' and cannot match empty (Pattern.matches_may_contain_byte) — exact
+per-file results, ~1 dispatch per JREP_BATCH_MB (default 32) instead of
+per file. Anything else falls back to per-file scanning.
 """
 from __future__ import annotations
 
@@ -143,6 +149,95 @@ def main(argv=None) -> int:
     any_match = False
     files = list(iter_files(args.files, args.recurse))
     multi = len(files) > 1
+
+    def emit(path, text, data, starts):
+        """Per-file output for resolved match starts. Returns True when
+        the caller should stop early (-q with a match)."""
+        nonlocal any_match
+        if args.count_matches:
+            any_match |= len(starts) > 0
+            print(f"{path}:{len(starts)}" if multi else len(starts))
+            return False
+        if len(starts) == 0:
+            return False
+        any_match = True
+        if args.quiet:
+            return True
+        if args.files_only:
+            print(path)
+            return False
+        if data is None:  # memmapped (--mmap/--stream): stay O(window)
+            line_no, lo, hi = line_info_windowed(text, np.asarray(starts))
+        else:
+            line_no, lo, hi = line_info(text, starts)
+        uniq = np.unique(line_no, return_index=True)[1]
+        if args.count_lines:
+            print(f"{path}:{len(uniq)}" if multi else len(uniq))
+            return False
+        for k in uniq:
+            seg = text[lo[k] : hi[k]] if data is None else data[lo[k] : hi[k]]
+            line = bytes(seg).decode("utf-8", "replace")
+            prefix = f"{path}:" if multi else ""
+            if args.line_numbers:
+                prefix += f"{int(line_no[k]) + 1:d}:"
+            print(prefix + line)
+        return False
+
+    # Batched scanning (the big per-dispatch-latency win on tunneled
+    # accelerators): when no match can CONSUME '\n' and no match is
+    # empty, files joined with a '\n' separator yield exactly the
+    # per-file matches in ONE device call — a span crossing a join would
+    # have to consume the separator, and the '\n' context byte gives the
+    # same ^ / $ / \b behavior as each file's own BOF/EOT
+    # (docs/SEMANTICS.md anchors). Two files per batch already halve the
+    # dispatch count; a source tree collapses to a handful of calls.
+    batchable = (
+        args.stream is None
+        and not args.mmap
+        and pat.info.min_len >= 1
+        and not pat.matches_may_contain_byte(0x0A)
+    )
+    batch_bytes = int(
+        float(os.environ.get("JREP_BATCH_MB", "32")) * (1 << 20)
+    )
+    pending = []  # (path, bytes)
+
+    def flush_batch():
+        """Scan pending files in one call; returns True to stop early."""
+        if not pending:
+            return False
+        if len(pending) == 1:
+            path, d = pending[0]
+            starts, _e, _p = pat.match_all_arrays(
+                np.frombuffer(d, dtype=np.uint8)
+            )
+            stop = emit(path, np.frombuffer(d, np.uint8), d, starts)
+        else:
+            offs = []
+            off = 0
+            for _path, d in pending:
+                offs.append(off)
+                off += len(d) + 1
+            big = b"\n".join(d for _path, d in pending)
+            s, e, _p = pat.match_all_arrays(
+                np.frombuffer(big, dtype=np.uint8)
+            )
+            s = np.asarray(s)
+            e = np.asarray(e)
+            bounds = np.array(offs + [len(big) + 1], dtype=np.int64)
+            idx = np.searchsorted(bounds, s, side="right") - 1
+            stop = False
+            for k, (path, d) in enumerate(pending):
+                ls = s[idx == k] - offs[k]
+                le = e[idx == k] - offs[k]
+                # No span may cross the separator (engine guarantee).
+                assert len(le) == 0 or le.max() <= len(d), path
+                stop = emit(path, np.frombuffer(d, np.uint8), d, ls)
+                if stop:
+                    break
+        pending.clear()
+        return stop
+
     for path in files:
         try:
             if args.mmap or args.stream is not None:
@@ -155,16 +250,18 @@ def main(argv=None) -> int:
         except OSError as e:
             print(f"jrep: {path}: {e}", file=sys.stderr)
             continue
+        if batchable:
+            pending.append((path, data))
+            if sum(len(d) for _p, d in pending) >= batch_bytes:
+                if flush_batch():
+                    return 0
+            continue
         if args.stream is not None:
             block = pat.config.block_size
             chunk = max(block, int(args.stream * (1 << 20)) // block * block)
             starts, _ends, _pids = pat.match_all_stream(
                 text, chunk_bytes=chunk
             )
-            if args.count_matches:
-                any_match |= len(starts) > 0
-                print(f"{path}:{len(starts)}" if multi else len(starts))
-                continue
         elif args.count_matches:
             cnt = pat.match_all_count(text)
             any_match |= cnt > 0
@@ -172,29 +269,10 @@ def main(argv=None) -> int:
             continue
         else:
             starts, _ends, _pids = pat.match_all_arrays(text)
-        if len(starts) == 0:
-            continue
-        any_match = True
-        if args.quiet:
+        if emit(path, text, data, starts):
             return 0
-        if args.files_only:
-            print(path)
-            continue
-        if data is None:  # memmapped (--mmap/--stream): stay O(window)
-            line_no, lo, hi = line_info_windowed(text, np.asarray(starts))
-        else:
-            line_no, lo, hi = line_info(text, starts)
-        uniq = np.unique(line_no, return_index=True)[1]
-        if args.count_lines:
-            print(f"{path}:{len(uniq)}" if multi else len(uniq))
-            continue
-        for k in uniq:
-            seg = text[lo[k] : hi[k]] if data is None else data[lo[k] : hi[k]]
-            line = bytes(seg).decode("utf-8", "replace")
-            prefix = f"{path}:" if multi else ""
-            if args.line_numbers:
-                prefix += f"{int(line_no[k]) + 1}:"
-            print(prefix + line)
+    if flush_batch():
+        return 0
     return 0 if any_match else 1
 
 
