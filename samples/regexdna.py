@@ -75,9 +75,12 @@ def main():
 
     staged = stage(stripped)
     for pat in VARIANTS:
-        # Case-insensitive via explicit classes (engine is byte-exact).
-        ci = "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in pat)
-        print(f"{pat} {Pattern(ci).match_all_count(staged)}")
+        # Case-insensitive matching via the (?i) prefix. (An earlier
+        # revision hand-wrapped letters in [cC] classes, which mangles
+        # letters INSIDE the variant's own classes — '[acg]' became the
+        # class-sequence '[[aA][cC][gG]]' requiring a literal ']' — and
+        # silently zeroed every variant count.)
+        print(f"{pat} {Pattern('(?i)' + pat).match_all_count(staged)}")
 
     # All 11 IUB substitutions in ONE multi-pattern pass: the codes are
     # disjoint single-character classes and no replacement string contains
