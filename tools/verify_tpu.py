@@ -218,11 +218,65 @@ def child(subset: int, size_mb: float, cpu: bool = False,
     if cbad:
         print(json.dumps({"ok": False, "stage": "C", "bad": cbad}))
         sys.exit(1)
+
+    # ---- D. bitpacked spans program (round-4 headline) on the chip -----
+    # literal_mask_packed_device + extract_rows_bitmask vs the L-array
+    # formulation, both ON DEVICE, sparse + dense + multi-pid; and the
+    # api bitmask branch vs bitmask="off".
+    from rejit_tpu.engine import spans as spans_mod
+    from rejit_tpu.kernels import literal as lk
+
+    dbad = 0
+    dense = np.frombuffer(
+        (b"zq....vw" * 40000)[: 300_001], np.uint8
+    ).copy()
+    sparse = np.frombuffer(
+        make_corpus(1 << 20, seed=0, needle=b"packet", density=0.002),
+        np.uint8,
+    )
+    for name, txt, lits in (
+        ("sparse", sparse, (b"packet",)),
+        ("dense", dense, (b"zq", b"vw")),
+    ):
+        n = len(txt)
+        W = len(lits[0])
+        ext = jnp.asarray(lk.extend_pad(txt, n, W))
+        words = lk.literal_mask_packed_device(
+            ext, jnp.int32(n), lits=lits, P=n, row_w=32
+        )
+        _, c1 = spans_mod.extract_rows_bitmask(words, row_w=32, row_cap=1)
+        cap = 1
+        while cap < int(jnp.max(c1)):
+            cap *= 2
+        pos, _c = spans_mod.extract_rows_bitmask(
+            words, row_w=32, row_cap=cap
+        )
+        sp = np.asarray(pos).ravel()
+        sp = sp[sp >= 0]
+        L, _I = lk.literal_l_arrays_device(
+            ext, jnp.int32(n), lits=lits, pids=tuple(range(len(lits))),
+            P=n,
+        )
+        want = np.flatnonzero(np.asarray(L)[:n] >= 0)
+        if not np.array_equal(sp, want):
+            log(f"D[{name}]: bitmask {len(sp)} != Larray {len(want)}")
+            dbad += 1
+        pat = "|".join(l.decode() for l in lits)
+        a = Pattern(pat).match_all_arrays(txt)
+        b = Pattern(pat, Config(bitmask="off")).match_all_arrays(txt)
+        if not all(np.array_equal(x, y) for x, y in zip(a, b)):
+            log(f"D[{name}]: api bitmask branch != bitmask=off")
+            dbad += 1
+    log("D: bitpacked spans program checked (sparse + dense)")
+    if dbad:
+        print(json.dumps({"ok": False, "stage": "D", "bad": dbad}))
+        sys.exit(1)
     print(json.dumps({
         "ok": True,
         "engine_patterns": len(ENGINE_PATTERNS),
         "conformance_cases": len(picked),
         "elementwise_cases": ccnt,
+        "bitmask_cases": 4,
         "platform": dev.platform,
     }))
 
