@@ -21,6 +21,27 @@ import jax
 _INITIALIZED = False
 
 
+def _host_cpu_tag() -> str:
+    """Short fingerprint of the host's CPU feature flags. XLA:CPU AOT
+    cache entries target the COMPILE host's features, and the jax cache
+    key does not include them — loading an entry produced on a different
+    host generation logs 'could lead to execution errors such as SIGILL'
+    (cpu_aot_loader.cc; observed round 4 after a host migration).
+    Partitioning the cache dir by this tag makes stale-host entries
+    unreachable. TPU executables are compiled server-side, so for them
+    this only costs a one-time recompile after a migration."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nohost"
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Enable JAX's persistent compilation cache (compiles survive process
     restarts — important on shared/tunneled TPU frontends where the compile
@@ -28,6 +49,7 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     path = path or os.environ.get(
         "REJIT_TPU_JAX_CACHE", os.path.expanduser("~/.cache/jax_comp")
     )
+    path = os.path.join(path, _host_cpu_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -17,4 +17,10 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     rt.enable_compilation_cache()
     import jax
 
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+    # Partitioned by host CPU fingerprint (stale-host XLA:CPU AOT
+    # entries must be unreachable — see runtime/init._host_cpu_tag).
+    got = jax.config.jax_compilation_cache_dir
+    assert got == str(tmp_path / "jc" / rt._host_cpu_tag())
+    import os
+
+    assert os.path.isdir(got)
