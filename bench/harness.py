@@ -60,7 +60,17 @@ def tchain(step, n, rounds=3):
 
     nv = jnp.int32(n)
 
+    compiled = set()
+
     def t(reps):
+        # Each static `reps` is a fresh XLA program: compile it with an
+        # untimed throwaway call first, or a cold compile cache turns
+        # the sizing walls into compile times and the adaptive ladder
+        # stops at tiny R with no slope signal (observed round 4 after
+        # the cache partition change: 175 GB/s rows "measuring" 5).
+        if reps not in compiled:
+            int(chain(nv, reps=reps))
+            compiled.add(reps)
         a = time.perf_counter()
         int(chain(nv, reps=reps))
         return time.perf_counter() - a
