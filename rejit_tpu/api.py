@@ -862,18 +862,17 @@ class Pattern:
             self.engine == "literal"
             and self.info.overlap_free
             and self.config.bitmask != "off"
-            and self.info.min_len == self.info.max_len
         ):
             # Bitpacked spans-out program (the headline bench path): the
             # candidate-start mask is packed 32 positions/uint32 inside
             # the match fusion and peeled with popcount bit tricks
-            # (engine/spans.extract_rows_bitmask). For fixed-width
-            # overlap-free sets the mask fully describes matches
-            # (end = start + width); distinct equal-length literals can
-            # never hit the same start, so pattern ids decode uniquely
-            # from the text at the match starts. Measured 119 GB/s
-            # on-chip vs the fused Pallas kernel's 2.9 (bench/NOTES.md
-            # round 4); pure XLA, every backend.
+            # (engine/spans.extract_rows_bitmask). Overlap-freedom means
+            # every candidate start IS a match start, so the mask fully
+            # describes the result; the matched width and pattern id
+            # decode uniquely from the text bytes at each start,
+            # longest-literal-first (the L-array claim order). Measured
+            # 175 GB/s on-chip vs the fused Pallas kernel's 2.9
+            # (bench/NOTES.md round 4); pure XLA, every backend.
             from .kernels import literal as lk
 
             Wd = self.info.max_len
@@ -913,24 +912,32 @@ class Pattern:
                 with Timer() as t_sel:
                     sp = np.asarray(pos_d).ravel().astype(np.int64)
                     sp = sp[sp >= 0]
-                    ends = sp + Wd
-                    pids = np.zeros(len(sp), dtype=np.int64)
-                    if len(set(self.info.literal_pids)) > 1:
-                        pids[:] = -1
+                    lits = self.info.literals
+                    lpids = self.info.literal_pids
+                    if len(lits) == 1:
+                        ends = sp + len(lits[0])
+                        pids = np.full(len(sp), lpids[0], dtype=np.int64)
+                    else:
+                        # Decode (width, pid) at each start by re-testing
+                        # the literals longest-first / lowest-pid (the
+                        # claim order of literal_l_arrays_device). O(k *
+                        # max_len) vectorized ops over #matches only.
+                        ends = np.full(len(sp), -1, dtype=np.int64)
+                        pids = np.full(len(sp), -1, dtype=np.int64)
                         order = sorted(
-                            range(len(self.info.literals)),
-                            key=lambda i: self.info.literal_pids[i],
+                            range(len(lits)),
+                            key=lambda i: (-len(lits[i]), lpids[i], i),
                         )
                         for i in order:
-                            lit = np.frombuffer(
-                                self.info.literals[i], np.uint8
-                            )
-                            hit = pids < 0
-                            for j in range(Wd):
-                                hit &= t[sp + j] == lit[j]
-                            pids[hit] = self.info.literal_pids[i]
-                    else:
-                        pids[:] = self.info.literal_pids[0]
+                            lit = np.frombuffer(lits[i], np.uint8)
+                            hit = (pids < 0) & (sp <= n - len(lit))
+                            for j in range(len(lit)):
+                                np.logical_and(
+                                    hit, t[np.minimum(sp + j, n - 1)]
+                                    == lit[j], out=hit,
+                                )
+                            ends[hit] = sp[hit] + len(lit)
+                            pids[hit] = lpids[i]
                     out = (sp, ends, pids)
             self.last_stats = MatchStats(
                 engine=self.engine,

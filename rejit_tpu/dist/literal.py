@@ -101,17 +101,17 @@ def _shard_spans_fn(text_sh, n, *, lits, axis, num_shards, row_w, cap):
     """Per-shard bitpacked spans (engine/spans.extract_rows_bitmask over
     kernels/literal.literal_mask_packed_device): each shard emits the
     match STARTS beginning in its own range (absolute positions) plus
-    exact per-row candidate counts. Fixed-width sets only — end = start
-    + width, so the packed start mask is the complete result; a
-    one-neighbour ppermute halo of width-1 bytes covers boundary
-    straddles exactly."""
+    exact per-row candidate counts. Overlap-free sets only: every
+    candidate start is a match start, widths/pids decode from the text
+    at the starts (api.match_all_arrays bitmask branch); a one-neighbour
+    ppermute halo of max_len-1 bytes covers boundary straddles exactly."""
     from ..engine import spans as spans_mod
     from ..kernels import literal as lk
 
     S = text_sh.shape[0]
     d = jax.lax.axis_index(axis)
     offset = (d * S).astype(jnp.int32)
-    W = len(lits[0])
+    W = max(len(l) for l in lits)
     hw = W - 1
     if hw > 0:
         head = text_sh[:hw]
@@ -164,12 +164,11 @@ def sharded_literal_spans(
     lits: Tuple[bytes, ...], text: np.ndarray, mesh: Mesh, axis: str = "data"
 ):
     """Host wrapper: shard + pad + two-phase cap sizing; returns sorted
-    absolute match starts (np.int64). Fixed-width overlap-free literal
-    sets (the bitpacked headline program, sharded)."""
-    assert len({len(l) for l in lits}) == 1, "fixed width required"
+    absolute match starts (np.int64). Overlap-free literal sets (the
+    bitpacked headline program, sharded)."""
     D = mesh.devices.size
     n = len(text)
-    W = len(lits[0])
+    W = max(len(l) for l in lits)
     # Shard size: multiple of 32 (packing), covers the halo width.
     shard = max(-(-n // D), W, 1)
     shard = -(-shard // 32) * 32

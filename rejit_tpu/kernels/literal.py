@@ -73,9 +73,16 @@ def literal_mask_packed_device(
     P: int,
     row_w: int = 256,
 ) -> jnp.ndarray:
-    """Bit-PACKED candidate-start mask for equal-length literal sets:
+    """Bit-PACKED candidate-start mask for an OVERLAP-FREE literal set:
     (ceil(P/row_w)*row_w/32,) uint32, bit i of word j = candidate at
     position 32*j + i.
+
+    Overlap-freedom (compile/analysis.py) means every candidate start IS
+    a match start (no cross-candidate suppression), so the start mask —
+    the OR of each literal's validity-masked hit mask — is the complete
+    device-side result; the matched width and pattern id decode uniquely
+    from the text bytes at the start, longest-literal-first (the L-array
+    claim order, literal_l_arrays_device).
 
     The extraction peel (engine/spans.extract_rows_bitmask) is HBM-bound
     on its root operand; packing shrinks that operand 32x vs the bool
@@ -83,13 +90,11 @@ def literal_mask_packed_device(
     HBM traffic than one pass over the text. XLA fuses the shifted
     compares into the pack reduction — the bool mask is never
     materialized."""
-    assert len({len(l) for l in lits}) == 1, "fixed width required"
     assert row_w % 32 == 0, row_w
     pos = jnp.arange(P, dtype=jnp.int32)
     m = jnp.zeros(P, dtype=bool)
     for lit in lits:
-        m = m | _hit_mask(text_ext, P, lit)
-    m = m & (pos <= n - len(lits[0]))
+        m = m | (_hit_mask(text_ext, P, lit) & (pos <= n - len(lit)))
     Ppad = -(-P // row_w) * row_w
     m = jnp.concatenate([m, jnp.zeros(Ppad - P, dtype=bool)])
     bits = m.reshape(-1, 32).astype(jnp.uint32) << jnp.arange(

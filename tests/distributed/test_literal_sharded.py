@@ -73,6 +73,18 @@ def test_sharded_spans_dense_cap_resize():
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_spans_mixed_widths():
+    """Mixed-width sets: the halo covers max_len-1 and per-literal
+    validity lives in the packed-mask kernel."""
+    text = bytearray(b"." * 200)
+    text[31:34] = b"xyv"   # straddles the 32-byte shard boundary
+    text[63:65] = b"zq"    # starts 1 before a boundary
+    text[198:200] = b"zq"  # at EOT
+    got = _spans([b"zq", b"xyv"], bytes(text))
+    want = [m[0] for m in oracle.match_all(rb"zq|xyv", bytes(text))]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_spans_multi_literal_and_edges():
     rng = np.random.default_rng(11)
     text = bytearray(rng.choice(np.frombuffer(b"fobar .", np.uint8), size=777))

@@ -192,6 +192,46 @@ def test_api_bitmask_literal_spans_dense():
     assert set(np.unique(gp)) == {0, 1}
 
 
+def test_api_bitmask_mixed_width_dense():
+    """Mixed-width overlap-free sets route through the bitpacked branch
+    (round 4): widths and pids decode from the text at the starts,
+    longest-first. Dense matches force the cap resize."""
+    from rejit_tpu import Config, Pattern
+
+    rng = np.random.default_rng(21)
+    n = 30_000
+    text = rng.integers(97, 123, size=n, dtype=np.uint8)
+    for p in range(0, n - 3, 8):
+        lit = b"zq" if (p // 8) % 2 else b"xyv"
+        text[p : p + len(lit)] = np.frombuffer(lit, np.uint8)
+    text[n - 3 : n] = np.frombuffer(b"xyv", np.uint8)  # match at EOT
+    pb = Pattern(["zq", "xyv"])
+    assert pb.engine == "literal" and pb.info.overlap_free
+    assert pb.info.min_len != pb.info.max_len
+    gs, ge, gp = pb.match_all_arrays(text)
+    pd = Pattern(["zq", "xyv"], Config(bitmask="off", pallas="off"))
+    es, ee, ep = pd.match_all_arrays(text)
+    np.testing.assert_array_equal(gs, es)
+    np.testing.assert_array_equal(ge, ee)
+    np.testing.assert_array_equal(gp, ep)
+    assert set(np.unique(gp)) == {0, 1}
+
+
+def test_api_bitmask_prefix_literals_same_start():
+    """'ing|ingest'-style sets where a literal is a prefix of another:
+    if analysis still calls the set overlap-free, the longest literal
+    must win at a shared start (the L-array claim order)."""
+    from rejit_tpu import Config, Pattern
+
+    p = Pattern("ing|ingest")
+    t = np.frombuffer(b"..ingest..ing..", np.uint8)
+    got = p.match_all_arrays(t)
+    ref = Pattern("ing|ingest", Config(bitmask="off", pallas="off"))
+    want = ref.match_all_arrays(t)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_api_bitmask_staged_corpus():
     """DeviceCorpus staging through the bitpacked literal branch and the
     count reduction: same results as the unstaged path, no per-call
