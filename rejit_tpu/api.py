@@ -727,6 +727,50 @@ class Pattern:
             total_time_s=t_all,
         )
 
+    def _bitmask_ok(self) -> bool:
+        """Does this pattern route through the bitpacked literal spans
+        program (kernels/literal.literal_mask_packed_device)?"""
+        return (
+            self.engine == "literal"
+            and self.info.overlap_free
+            and self.config.bitmask != "off"
+        )
+
+    def _bitmask_words(self, t: np.ndarray, corpus, row_w: int = 32):
+        """Packed candidate-start words for `t` (staged corpus reused
+        when available — the serving model)."""
+        from .kernels import literal as lk
+
+        n = len(t)
+        Wd = self.info.max_len
+        if corpus is not None:
+            ext, P_arr = corpus.padded_ext(Wd)
+            P_s = P_arr - Wd
+        else:
+            ext = jnp.asarray(lk.extend_pad(t, n, Wd))
+            P_s = n
+        return lk.literal_mask_packed_device(
+            ext, jnp.int32(n), lits=self.info.literals, P=P_s, row_w=row_w
+        )
+
+    def _literal_end_at(self, t: np.ndarray, s: int):
+        """(end, pid) of the match starting at s: longest-literal-first
+        / lowest-pid (the L-array claim order)."""
+        n = len(t)
+        order = sorted(
+            range(len(self.info.literals)),
+            key=lambda i: (
+                -len(self.info.literals[i]),
+                self.info.literal_pids[i],
+                i,
+            ),
+        )
+        for i in order:
+            lit = self.info.literals[i]
+            if s + len(lit) <= n and t[s : s + len(lit)].tobytes() == lit:
+                return s + len(lit), self.info.literal_pids[i]
+        raise AssertionError("candidate start with no literal match")
+
     def matches_may_contain_byte(self, b: int) -> bool:
         """Conservative containment test: False ONLY when no match of
         this pattern can CONSUME byte `b` (assertions like ^ $ \\b may
@@ -783,6 +827,16 @@ class Pattern:
             self._record("match_anywhere", len(t), int(got), 0.0,
                          t_all.elapsed)
             return got
+        if self._bitmask_ok():
+            with Timer() as t_all:
+                with Timer() as t_dev:
+                    words = self._bitmask_words(t, corpus)
+                    found = int(spans.first_candidate_bitmask(words)) < (
+                        1 << 30
+                    )
+            self._record("match_anywhere", len(t), int(found),
+                         t_dev.elapsed, t_all.elapsed, n_cand=int(found))
+            return found
         with Timer() as t_all:
             with Timer() as t_dev:
                 L, _ = self._l_i_device(t, corpus=corpus)
@@ -812,6 +866,20 @@ class Pattern:
             self._record("match_first", len(t), int(m is not None), 0.0,
                          t_all.elapsed)
             return m
+        if self._bitmask_ok():
+            # One O(1)-output device reduction over the packed candidate
+            # words; end/pid decode from the text at the start.
+            with Timer() as t_all:
+                with Timer() as t_dev:
+                    words = self._bitmask_words(t, corpus)
+                    first = int(spans.first_candidate_bitmask(words))
+                found = first < (1 << 30)
+            self._record("match_first", len(t), int(found),
+                         t_dev.elapsed, t_all.elapsed, n_cand=int(found))
+            if not found:
+                return None
+            end, _pid = self._literal_end_at(t, first)
+            return (first, end)
         with Timer() as t_all:
             with Timer() as t_dev:
                 pos, end, _ = self._candidates(t, corpus=corpus)
@@ -858,11 +926,7 @@ class Pattern:
                 out = self.match_all_stream(t, chunk_bytes=cb)
                 self.last_stats.op = "match_all"
                 return out
-        if (
-            self.engine == "literal"
-            and self.info.overlap_free
-            and self.config.bitmask != "off"
-        ):
+        if self._bitmask_ok():
             # Bitpacked spans-out program (the headline bench path): the
             # candidate-start mask is packed 32 positions/uint32 inside
             # the match fusion and peeled with popcount bit tricks
@@ -873,9 +937,6 @@ class Pattern:
             # longest-literal-first (the L-array claim order). Measured
             # 175 GB/s on-chip vs the fused Pallas kernel's 2.9
             # (bench/NOTES.md round 4); pure XLA, every backend.
-            from .kernels import literal as lk
-
-            Wd = self.info.max_len
             # One word per row: the peel is pure elementwise bit math
             # (no cross-word row-min) and cap scales with the 32-byte
             # row — measured 175 GB/s vs 119 at ROW_W=256 (bench/NOTES.md
@@ -884,18 +945,7 @@ class Pattern:
             with Timer() as t_all:
                 n = len(t)
                 with Timer() as t_dev:
-                    if corpus is not None:
-                        # Staged corpus: reuse the device-resident padded
-                        # bytes (no per-call upload) — the serving model.
-                        ext, P_arr = corpus.padded_ext(Wd)
-                        P_s = P_arr - Wd
-                    else:
-                        ext = jnp.asarray(lk.extend_pad(t, n, Wd))
-                        P_s = n
-                    words = lk.literal_mask_packed_device(
-                        ext, jnp.int32(n), lits=self.info.literals,
-                        P=P_s, row_w=ROW_W,
-                    )
+                    words = self._bitmask_words(t, corpus, row_w=ROW_W)
                     cap = 4
                     while True:
                         pos_d, cnt = spans.extract_rows_bitmask(

@@ -245,6 +245,22 @@ def extract_rows_bitmask(
 
 
 @jax.jit
+def first_candidate_bitmask(words: jnp.ndarray) -> jnp.ndarray:
+    """Position of the FIRST set bit in a packed candidate mask
+    (kernels/literal.literal_mask_packed_device), or >= 1<<30 when none:
+    one O(1)-output device reduction — the literal-engine MatchFirst /
+    MatchAnywhere program (rejit stops at the first verified hit,
+    SURVEY.md §3.3; here the whole scan runs at memory speed and only a
+    scalar comes back)."""
+    one = jnp.uint32(1)
+    lsb = words & (~words + one)
+    idx = jax.lax.population_count(lsb - one).astype(jnp.int32)
+    base = 32 * jnp.arange(words.shape[0], dtype=jnp.int32)
+    key = jnp.where(words != 0, base + idx, jnp.int32(1 << 30))
+    return jnp.min(key) if words.shape[0] else jnp.int32(1 << 30)
+
+
+@jax.jit
 def partition_select_mask(L: jnp.ndarray, I: jnp.ndarray) -> jnp.ndarray:
     """Elementwise non-overlap selection for run-partition pattern sets
     (analysis.is_run_partition): a candidate is selected iff it starts a

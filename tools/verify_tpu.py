@@ -71,7 +71,12 @@ def child(subset: int, size_mb: float, cpu: bool = False,
     # interpret-mode CI cannot exercise (it runs branchless — see
     # kernels/schain_pallas.py).
     n = int(size_mb * 1024 * 1024)
-    K, CHL = 32, 128
+    # --cpu smoke mode uses the CI geometry: XLA CPU fails with "Unknown
+    # MLIR failure" compiling the INTERPRET-mode program for some
+    # patterns ([a-z]+) at production geometry (K>=16, any CHL, FF on or
+    # off — reproduced round 4); the Mosaic path this gate exists to pin
+    # is a different compile pipeline entirely.
+    K, CHL = (8, 2) if cpu else (32, 128)
     grain = K * 8 * CHL
     P = -(-n // grain) * grain
     texts = {}
