@@ -747,8 +747,11 @@ class Pattern:
             ext, P_arr = corpus.padded_ext(Wd)
             P_s = P_arr - Wd
         else:
-            ext = jnp.asarray(lk.extend_pad(t, n, Wd))
-            P_s = n
+            # Bucket P (static jit arg) like the count path: without it
+            # every distinct text length triggers a fresh trace+compile
+            # (jrep batched flushes have near-unique lengths).
+            P_s = _bucket_blocks(max(1, -(-n // 1024))) * 1024
+            ext = jnp.asarray(lk.extend_pad(t, P_s, Wd))
         return lk.literal_mask_packed_device(
             ext, jnp.int32(n), lits=self.info.literals, P=P_s, row_w=row_w
         )
@@ -831,8 +834,8 @@ class Pattern:
             with Timer() as t_all:
                 with Timer() as t_dev:
                     words = self._bitmask_words(t, corpus)
-                    found = int(spans.first_candidate_bitmask(words)) < (
-                        1 << 30
+                    found = int(spans.first_candidate_bitmask(words)) < len(
+                        t
                     )
             self._record("match_anywhere", len(t), int(found),
                          t_dev.elapsed, t_all.elapsed, n_cand=int(found))
@@ -873,7 +876,7 @@ class Pattern:
                 with Timer() as t_dev:
                     words = self._bitmask_words(t, corpus)
                     first = int(spans.first_candidate_bitmask(words))
-                found = first < (1 << 30)
+                found = first < len(t)
             self._record("match_first", len(t), int(found),
                          t_dev.elapsed, t_all.elapsed, n_cand=int(found))
             if not found:

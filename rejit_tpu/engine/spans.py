@@ -162,15 +162,17 @@ def extract_rows_packed(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("row_w", "row_cap"))
 def extract_rows_fixed(
     mask: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8
 ):
-    """extract_rows_packed specialized to a FIXED-WIDTH candidate-start
-    mask (kernels/literal.literal_mask_device): ends are start + width, so
-    the peel operates on the 1-byte mask alone. The peel is HBM-bound on
-    its root operands (measured round 4: the packed-int32 peel re-reads
-    ~40 MB/10 MB-text per round); a bool root cuts that 4-8x. The lane
-    iota is fused into the row-min reduce, never materialized.
+    """Bool-mask peel — kept as the DIFFERENTIAL REFERENCE for
+    extract_rows_bitmask (tests/unit/test_spans.py, property fuzz); no
+    production caller. Historically the round-4 intermediate: ends are
+    start + width, so the peel operates on the 1-byte mask alone (the
+    packed-int32 peel re-reads ~40 MB/10 MB-text per round; a bool root
+    cuts that 4-8x, the bitpacked root 32x more). The lane iota is fused
+    into the row-min reduce, never materialized.
 
     Returns (pos, counts): pos (R, row_cap) int32 start positions (-1 =
     none), counts (R,) exact per-row candidate counts (> row_cap means
@@ -200,6 +202,7 @@ def extract_rows_fixed(
     return jnp.stack(pos_o, axis=1), counts
 
 
+@functools.partial(jax.jit, static_argnames=("row_w", "row_cap"))
 def extract_rows_bitmask(
     words: jnp.ndarray, *, row_w: int = 256, row_cap: int = 8
 ):
@@ -247,17 +250,27 @@ def extract_rows_bitmask(
 @jax.jit
 def first_candidate_bitmask(words: jnp.ndarray) -> jnp.ndarray:
     """Position of the FIRST set bit in a packed candidate mask
-    (kernels/literal.literal_mask_packed_device), or >= 1<<30 when none:
-    one O(1)-output device reduction — the literal-engine MatchFirst /
-    MatchAnywhere program (rejit stops at the first verified hit,
-    SURVEY.md §3.3; here the whole scan runs at memory speed and only a
-    scalar comes back)."""
+    (kernels/literal.literal_mask_packed_device): one O(1)-output device
+    reduction — the literal-engine MatchFirst / MatchAnywhere program
+    (rejit stops at the first verified hit, SURVEY.md §3.3; here the
+    whole scan runs at memory speed and only a scalar comes back).
+
+    The no-match sentinel is INT32_MAX, not a small power of two: a
+    1 GiB+ text's first match can sit past 1 << 30, and the key here is
+    an ABSOLUTE position (the row peels' BIG compares only small
+    per-row keys). Callers must compare against n, not the sentinel.
+    Positions are int32 engine-wide, so single device buffers are
+    < 2 GiB by construction (larger corpora stream, engine/stream.py)
+    and base + idx cannot overflow."""
     one = jnp.uint32(1)
+    BIG = jnp.int32(2**31 - 1)
+    if not words.shape[0]:
+        return BIG
     lsb = words & (~words + one)
     idx = jax.lax.population_count(lsb - one).astype(jnp.int32)
     base = 32 * jnp.arange(words.shape[0], dtype=jnp.int32)
-    key = jnp.where(words != 0, base + idx, jnp.int32(1 << 30))
-    return jnp.min(key) if words.shape[0] else jnp.int32(1 << 30)
+    key = jnp.where(words != 0, base + idx, BIG)
+    return jnp.min(key)
 
 
 @jax.jit

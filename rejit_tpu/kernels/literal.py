@@ -49,13 +49,9 @@ def literal_count_device(
 def literal_mask_device(
     text_ext: jnp.ndarray, n: jnp.ndarray, *, lits: Tuple[bytes, ...], P: int
 ) -> jnp.ndarray:
-    """(P,) bool candidate-start mask for EQUAL-LENGTH literal sets.
-
-    For a fixed-width overlap-free pattern the mask is the complete match
-    description (end = start + width, single effective pid), 1/8 the HBM
-    footprint of the (L, I) int32 pair — the root operand of the
-    extraction peel (engine/spans.extract_rows_fixed), which is
-    HBM-traffic-bound (bench/NOTES.md round 4)."""
+    """(P,) bool candidate-start mask for EQUAL-LENGTH literal sets —
+    the DIFFERENTIAL REFERENCE for literal_mask_packed_device (tests
+    only; production uses the packed form + extract_rows_bitmask)."""
     assert len({len(l) for l in lits}) == 1, "fixed width required"
     pos = jnp.arange(P, dtype=jnp.int32)
     m = jnp.zeros(P, dtype=bool)

@@ -250,12 +250,20 @@ def main(argv=None) -> int:
         except OSError as e:
             print(f"jrep: {path}: {e}", file=sys.stderr)
             continue
-        if batchable:
+        if batchable and not (
+            args.count_matches and len(data) >= (4 << 20)
+        ):
+            # Batching trades one dispatch for transferring the match
+            # starts; for --count-matches on a LARGE file the per-file
+            # scalar count reduction below wins (one int back), so only
+            # small files batch in that mode.
             pending.append((path, data))
             if sum(len(d) for _p, d in pending) >= batch_bytes:
                 if flush_batch():
                     return 0
             continue
+        if flush_batch():  # keep per-file output in input order
+            return 0
         if args.stream is not None:
             block = pat.config.block_size
             chunk = max(block, int(args.stream * (1 << 20)) // block * block)
