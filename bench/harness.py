@@ -582,10 +582,16 @@ def _dfa_cfg():
     return Config(engine="dfa", block_size=32)
 
 
-def _fused_step(p, text, jax, jnp, K=128, CHL=128, rolled=False):
+def _fused_step(p, text, jax, jnp, K=None, CHL=None, rolled=False):
     """step(nv) for the VMEM-fused select-chain kernel (the production
     accelerator engine, kernels/schain_pallas.py); corpus staged once.
-    rolled=True measures the fori_loop (large-Q compile) form."""
+    rolled=True measures the fori_loop (large-Q compile) form. K/CHL
+    default to the pattern's production geometry (api._fused_params —
+    CHL=512 for single-pattern small-Q since round 4)."""
+    if K is None or CHL is None:
+        pk, pchl = p._fused_params()
+        K = K or pk
+        CHL = CHL or pchl
     n = len(text)
     from rejit_tpu.engine import schain as se
     from rejit_tpu.kernels import schain_pallas as sp

@@ -182,6 +182,7 @@ class Pattern:
         self._schain_static = None
         self._classrun = None
         self._classlit = None
+        self._chl_fallback = None  # set to 128 after a fused VMEM OOM
         self._oracle = None
         self.last_stats: MatchStats = MatchStats()
         if self.engine == "classrun":
@@ -460,10 +461,10 @@ class Pattern:
         if self._use_schain_fused():
             from .kernels import schain_pallas
 
-            fs = self._fused_staged(text, corpus)
-            if fs is not None:
-                staged, n_, fblock, fchl = fs
-                return schain_pallas.l_arrays_device_staged(
+            out = self._fused_run(
+                text, corpus,
+                lambda staged, n_, fblock, fchl:
+                schain_pallas.l_arrays_device_staged(
                     self._schain_static,
                     self.tables.n_patterns,
                     staged,
@@ -473,7 +474,10 @@ class Pattern:
                     interpret=self.config.interpret,
                     use_ff=self.config.use_ff,
                     rolled=self._fused_rolled(),
-                )
+                ),
+            )
+            if out is not None:
+                return out
             # One kernel call can't hold these packed positions (text
             # beyond max_p for this Q): fall through to the XLA
             # select-chain engine, which has no packed limit; truly huge
@@ -572,13 +576,51 @@ class Pattern:
 
     def _fused_params(self):
         """(K, CHL) for the fused kernel: config override or the measured
-        v5e optimum K=128, CHL=128 (bench/NOTES.md round-2 matrix); under
-        interpret the generic block_size keeps CI traces small."""
+        v5e optimum — K=128 with CHL=512 at small Q (round-4 sweep:
+        +15-26% over CHL=128 across dense/sparse/pattern families;
+        CHL=1024 fails server-side compile) and CHL=128 above the
+        unrolled-Q knee (large-Q carries scale with Q*CHL — keep the
+        round-2/3-validated geometry there); under interpret the generic
+        block_size keeps CI traces small."""
         K = self.config.fused_block or (
             self.config.block_size if self.config.interpret else 128
         )
-        chl = self.config.fused_chl or 128
+        # CHL=512 empirically fits scoped VMEM (16 MB) only for
+        # single-pattern small-Q tables: multi-pattern doubles the
+        # output tiles (I) and OOMs at CHL>=256 (measured: 16.64M at
+        # 256, 29M at 512); _l_i_device retries at CHL=128 if a VMEM
+        # OOM still slips through on other hardware.
+        wide_ok = (
+            not self.config.interpret
+            and self.tables is not None
+            and self.tables.n_states <= 8
+            and self.tables.n_patterns == 1
+        )
+        chl = (
+            self.config.fused_chl
+            or self._chl_fallback
+            or (512 if wide_ok else 128)
+        )
         return K, chl
+
+    def _fused_run(self, t, corpus, run):
+        """Stage + run a fused-kernel call, retrying once at CHL=128 on
+        a scoped-VMEM OOM (the wide default is validated on v5e only).
+        Returns None when the text exceeds the packed-position limit."""
+        fs = self._fused_staged(t, corpus)
+        if fs is None:
+            return None
+        try:
+            return run(*fs)
+        except Exception as err:  # jax.errors.JaxRuntimeError
+            msg = str(err).lower()
+            if self._chl_fallback is not None or "vmem" not in msg:
+                raise
+            self._chl_fallback = 128
+            fs = self._fused_staged(t, corpus)
+            if fs is None:
+                return None
+            return run(*fs)
 
     def _use_matmul(self) -> bool:
         # Explicit opt-in only: measured slower than schain at small Q
@@ -1145,10 +1187,10 @@ class Pattern:
             # (kernels/schain_pallas.count_device_staged).
             from .kernels import schain_pallas
 
-            fs = self._fused_staged(t, corpus)
-            if fs is not None:
-                staged, n_, fblock, fchl = fs
-                cnt = schain_pallas.count_device_staged(
+            cnt = self._fused_run(
+                t, corpus,
+                lambda staged, n_, fblock, fchl:
+                schain_pallas.count_device_staged(
                     self._schain_static,
                     self.tables.n_patterns,
                     staged,
@@ -1158,7 +1200,9 @@ class Pattern:
                     interpret=self.config.interpret,
                     use_ff=self.config.use_ff,
                     rolled=self._fused_rolled(),
-                )
+                ),
+            )
+            if cnt is not None:
                 return int(cnt)
         cnt = len(self.match_all_arrays(text)[0])
         self.last_stats.op = "match_all_count"
