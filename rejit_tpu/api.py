@@ -585,15 +585,16 @@ class Pattern:
         K = self.config.fused_block or (
             self.config.block_size if self.config.interpret else 128
         )
-        # CHL=512 empirically fits scoped VMEM (16 MB) only for
-        # single-pattern small-Q tables: multi-pattern doubles the
-        # output tiles (I) and OOMs at CHL>=256 (measured: 16.64M at
-        # 256, 29M at 512); _l_i_device retries at CHL=128 if a VMEM
-        # OOM still slips through on other hardware.
+        # CHL=512 measured +15-26% for single-pattern small-Q (round-4
+        # sweep; the kernel raises its scoped-VMEM budget to fit the
+        # wide tiles). Multi-pattern measured neutral (17.8 vs 18.0) —
+        # keep the round-2-validated narrow geometry there. _fused_run
+        # retries at CHL=128 if a VMEM OOM slips through on other
+        # hardware generations.
         wide_ok = (
             not self.config.interpret
             and self.tables is not None
-            and self.tables.n_states <= 8
+            and self.tables.n_states <= 16
             and self.tables.n_patterns == 1
         )
         chl = (

@@ -1171,6 +1171,12 @@ def call_fused(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Default scoped-VMEM budget is 16 MB; v5e has 128 MB
+            # physical VMEM. The wide geometry (CHL=512, round 4:
+            # +15-26% throughput) needs ~23-29 MB of double-buffered
+            # tiles at Q~8 / multi-pattern, so raise the kernel budget
+            # (measured no regression at the narrow geometry).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(nlim, seed, sk0_t, tiles)
