@@ -215,21 +215,20 @@ def measure_child() -> dict:
             s, kk = spans_mod.extract_rows_bitmask(
                 m, row_w=ROW_W, row_cap=cap
             )
-            valid = s >= 0
-            # Checksum over (start, end = start + W, counts).
-            ck = (
-                2 * jnp.sum(jnp.where(valid, s, 0), dtype=jnp.int32)
-                + W * jnp.sum(valid, dtype=jnp.int32)
-                + jnp.sum(kk, dtype=jnp.int32)
-            )
+            # DCE guard: two flat reductions over the full outputs
+            # (positions incl. -1 empties, exact counts). The previous
+            # where/valid form added four more full-array passes and
+            # cost 34 of the 60 us/rep — it measured the checksum, not
+            # the program (bench/NOTES.md round 4; ends are start+W by
+            # construction, asserted in the parity block above).
+            ck = jnp.sum(s, dtype=jnp.int32) + jnp.sum(kk, dtype=jnp.int32)
             return ck, None
         ck, _ = jax.lax.scan(body, exp_ck, None, length=reps)
         return ck
 
     # Same int32 wraparound arithmetic as the device checksum.
     raw = (
-        2 * int(np.sum(sp_[keep], dtype=np.int64))
-        + k * W
+        int(np.sum(np.asarray(s_d), dtype=np.int64))
         + int(np.sum(np.asarray(cnts), dtype=np.int64))
     ) & 0xFFFFFFFF
     exp_int = raw - (1 << 32) if raw >= (1 << 31) else raw
