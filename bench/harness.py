@@ -220,6 +220,59 @@ def run_configs(size_mb: float, which, engines="all"):
                 report(f"config2_pal_{pat}",
                        tchain(_dfa_step(p, text, jax, jnp, pallas=True), n),
                        n)
+        # Bitpacked literal-set program (round 4): foo|bar|baz is a
+        # fixed-width overlap-free literal SET, so the AUTO engine serves
+        # it with the packed candidate mask + popcount peel — the same
+        # program as config1_bitmask_spans, here on the alternation. The
+        # fused-DFA row above is the general-engine comparison point,
+        # not the production route.
+        pl = Pattern("foo|bar|baz")
+        assert pl.engine == "literal" and pl.info.overlap_free
+        ROW_W2 = 32
+        wmax = max(len(l) for l in pl.info.literals)
+        extl = jax.device_put(jnp.asarray(lk.extend_pad(text, n, wmax)))
+        ndl = jnp.int32(n)
+        wd0 = lk.literal_mask_packed_device(
+            extl, ndl, lits=pl.info.literals, P=n, row_w=ROW_W2
+        )
+        _, c0 = spans.extract_rows_bitmask(wd0, row_w=ROW_W2, row_cap=1)
+        bcap2 = 1
+        while bcap2 < int(jnp.max(c0)):
+            bcap2 *= 2
+
+        def step_bm(nv):
+            wd = lk.literal_mask_packed_device(
+                extl, nv, lits=pl.info.literals, P=n, row_w=ROW_W2
+            )
+            s, kk = spans.extract_rows_bitmask(
+                wd, row_w=ROW_W2, row_cap=bcap2
+            )
+            return jnp.sum(s, dtype=jnp.int32) + jnp.sum(kk, dtype=jnp.int32)
+
+        s0, _ = spans.extract_rows_bitmask(wd0, row_w=ROW_W2, row_cap=bcap2)
+        sp0 = np.asarray(s0).ravel()
+        sp0 = sp0[sp0 >= 0]
+        hs2, _, _ = pl.match_all_arrays(text)
+        assert np.array_equal(sp0, hs2), (len(sp0), len(hs2))
+        report("config2_bitmask_foo|bar|baz", tchain(step_bm, n), n,
+               f"cap {bcap2}, full span extraction, {len(hs2)} matches")
+
+        # MatchFirst on the literal set: one O(1)-output reduction over
+        # the packed words (rejit stops at the first verified hit,
+        # SURVEY.md §3.3; here the whole scan runs at memory speed and
+        # one scalar comes back).
+        def step_first(nv):
+            wd = lk.literal_mask_packed_device(
+                extl, nv, lits=pl.info.literals, P=n, row_w=ROW_W2
+            )
+            return spans.first_candidate_bitmask(wd)
+
+        finds = [corpus.find(l) for l in pl.info.literals]
+        exp_first = min(f for f in finds if f >= 0)
+        assert int(step_first(ndl)) == exp_first
+        report("config2_first_foo|bar|baz", tchain(step_first, n), n,
+               "MatchFirst O(1)-output reduction")
+
         # classrun specialization (the CPU auto engine; on accelerators
         # auto now prefers the fused DFA — see api._select_engine)
         pc = Pattern("[a-z]+", Config(engine="classrun"))
