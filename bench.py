@@ -322,6 +322,17 @@ def main():
             if fallback is None or cand["value"] > fallback["value"]:
                 fallback = cand
         log(f"attempt {k}: child failed rc={out.returncode}")
+        if "AssertionError" in out.stderr:
+            # Parity/correctness assertions are deterministic: the same
+            # corpus and program fail identically every attempt (round 3
+            # burned all 8 attempts on one). Surface the bug immediately
+            # instead of retrying for a better tunnel window.
+            log("deterministic assertion failure — not a tunnel issue; "
+                "aborting retries")
+            tb = [l for l in out.stderr.splitlines() if l.strip()][-6:]
+            for l in tb:
+                log(f"  {l}")
+            break
         time.sleep(30)
     # No fast window appeared: report the best degraded-window number
     # (honest lower bound), or zero if nothing ran at all.

@@ -813,7 +813,16 @@ class Pattern:
         )
         for i in order:
             lit = self.info.literals[i]
-            if s + len(lit) <= n and t[s : s + len(lit)].tobytes() == lit:
+            if s + len(lit) > n:
+                continue
+            if isinstance(lit, bytes):
+                ok = t[s : s + len(lit)].tobytes() == lit
+            else:  # class-literal: per-position membership
+                ok = all(
+                    int(t[s + j]) in allowed
+                    for j, allowed in enumerate(lit)
+                )
+            if ok:
                 return s + len(lit), self.info.literal_pids[i]
         raise AssertionError("candidate start with no literal match")
 
@@ -826,7 +835,12 @@ class Pattern:
         device call — a span crossing a join would have to consume the
         separator."""
         if self.engine == "literal" and self.info.literals:
-            return any(bytes([b]) in lit for lit in self.info.literals)
+            from .compile.analysis import _clit_sets
+
+            return any(
+                any(b in s for s in _clit_sets(lit))
+                for lit in self.info.literals
+            )
         if self.engine == "classrun" and self._classrun is not None:
             return bool(np.asarray(self._classrun[0])[b])
         if self.engine == "classlit" and self._classlit is not None:
@@ -1025,13 +1039,23 @@ class Pattern:
                             key=lambda i: (-len(lits[i]), lpids[i], i),
                         )
                         for i in order:
-                            lit = np.frombuffer(lits[i], np.uint8)
+                            lit = lits[i]
                             hit = (pids < 0) & (sp <= n - len(lit))
-                            for j in range(len(lit)):
-                                np.logical_and(
-                                    hit, t[np.minimum(sp + j, n - 1)]
-                                    == lit[j], out=hit,
+                            by_pos = (
+                                [np.uint8(b) for b in lit]
+                                if isinstance(lit, bytes)
+                                else [
+                                    np.asarray(a, np.uint8) for a in lit
+                                ]
+                            )
+                            for j, allowed in enumerate(by_pos):
+                                tj = t[np.minimum(sp + j, n - 1)]
+                                ok = (
+                                    tj == allowed
+                                    if allowed.ndim == 0
+                                    else np.isin(tj, allowed)
                                 )
+                                np.logical_and(hit, ok, out=hit)
                             ends[hit] = sp[hit] + len(lit)
                             pids[hit] = lpids[i]
                     out = (sp, ends, pids)
@@ -1054,6 +1078,7 @@ class Pattern:
             and (self.config.interpret or self._use_pallas())
             and max(len(l) for l in self.info.literals) <= 128
             and max(self.info.literal_pids) < 16
+            and all(isinstance(l, bytes) for l in self.info.literals)
         ):
             # Fused match->spans Pallas kernel (kernels/extract_pallas.py):
             # ONE pass over the text produces the compacted per-row span

@@ -170,6 +170,88 @@ def _finite_language(re: ir.Re, budget: int) -> Optional[List[bytes]]:
     return None
 
 
+# A "class-literal" is a fixed-width string pattern with a small byte CLASS
+# at each position — e.g. (?i)packet folds to [Pp][Aa][Cc][Kk][Ee][Tt], and
+# \d\d:\d\d is one too. Represented as a tuple of per-position tuples of
+# byte values (sorted, deduped); plain literals stay `bytes`. The literal
+# engine's kernels treat both forms uniformly (kernels/literal._hit_mask):
+# a class position costs |class| shifted compares instead of 1, so the scan
+# stays elementwise and memory-bound — the case-insensitive analog of
+# rejit's SSE fast-forward loop (SURVEY.md §2.1/C6), without enumerating
+# the 2^width variant set that alt_literals' budget rejects.
+ClassLit = Tuple[Tuple[int, ...], ...]
+
+_CLIT_MAX_CLASS = 16     # bytes per position
+_CLIT_MAX_TERMS = 256    # sum over positions of |class| (compare count)
+
+
+def alt_class_literals(
+    re: ir.Re, max_branches: int = 8
+) -> Optional[List[object]]:
+    """Pattern matches a small alternation of class-literals? Returns the
+    branches (each `bytes` when every position is a singleton, else a
+    ClassLit), or None. Only useful when alt_literals() failed — a
+    class-literal denotes the product language of its positions without
+    enumerating it."""
+    vs = _clit_language(re, max_branches)
+    if not vs:
+        return None
+    seen = set()
+    out: List[object] = []
+    for v in vs:
+        v = bytes(p[0] for p in v) if all(len(p) == 1 for p in v) else v
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _clit_language(
+    re: ir.Re, max_branches: int
+) -> Optional[List[ClassLit]]:
+    """All class-literal branches of the pattern, if it is a (small)
+    alternation of fixed-width class strings (non-empty, no assertions)."""
+    if isinstance(re, ir.Lit):
+        return [tuple((b,) for b in re.data)] if re.data else None
+    if isinstance(re, ir.CharClass):
+        bs = tuple(b for b in range(256) if (re.bitmap >> b) & 1)
+        return [(bs,)] if 0 < len(bs) <= _CLIT_MAX_CLASS else None
+    if isinstance(re, ir.Cat):
+        out: List[ClassLit] = [()]
+        for p in re.parts:
+            vs = _clit_language(p, max_branches)
+            if vs is None or len(out) * len(vs) > max_branches:
+                return None
+            out = [a + v for a in out for v in vs]
+        return out if out and all(out) else None
+    if isinstance(re, ir.Alt):
+        out = []
+        for o in re.options:
+            vs = _clit_language(o, max_branches)
+            if vs is None or len(out) + len(vs) > max_branches:
+                return None
+            out.extend(vs)
+        return out
+    if isinstance(re, ir.Rep) and re.lo == re.hi and re.lo >= 1:
+        base = _clit_language(re.child, max_branches)
+        if base is None:
+            return None
+        out = [()]
+        for _ in range(re.lo):
+            if len(out) * len(base) > max_branches:
+                return None
+            out = [a + v for a in out for v in base]
+        return out if out and all(out) else None
+    return None
+
+
+def _clit_sets(lit) -> List[frozenset]:
+    """Per-position byte sets of a literal in either representation."""
+    if isinstance(lit, bytes):
+        return [frozenset((b,)) for b in lit]
+    return [frozenset(p) for p in lit]
+
+
 def first_bytes(re: ir.Re) -> Tuple[int, bool]:
     """(bitmap of possible first bytes of a non-empty match, nullable).
 
@@ -208,21 +290,29 @@ def _has_border(lit: bytes) -> bool:
     return any(lit[:k] == lit[-k:] for k in range(1, len(lit)))
 
 
-def literals_overlap_free(lits: List[bytes]) -> bool:
+def literals_overlap_free(lits: List[object]) -> bool:
     """True iff no occurrence of any literal can overlap an occurrence of any
     (possibly the same) literal. Then greedy non-overlap selection == all
-    hits, so MatchAllCount is a pure device-side reduction."""
-    for a in lits:
-        if _has_border(a):
-            return False
-    for i, a in enumerate(lits):
-        for j, b in enumerate(lits):
-            if i != j and (a.startswith(b) or b.startswith(a)):
-                return False  # same-position hits of different lengths
+    hits, so MatchAllCount is a pure device-side reduction.
+
+    Accepts both representations (`bytes` and ClassLit). Positions are
+    independent, so "some string of A's language overlaps some string of
+    B's" is exactly "every aligned position pair has a non-empty class
+    intersection" — the set test below. For class-literals this also
+    rejects pairs whose LANGUAGES intersect at the same position/width
+    (compatible over the full min-length): such double hits would
+    double-count in the per-branch count reduction."""
+    sets = [_clit_sets(a) for a in lits]
+    for i, a in enumerate(sets):
+        for j, b in enumerate(sets):
+            if i != j and all(
+                a[p] & b[p] for p in range(min(len(a), len(b)))
+            ):
+                return False  # same-position hits (incl. width ties)
             for d in range(1, len(a)):
                 k = min(len(a) - d, len(b))
-                if a[d : d + k] == b[:k]:
-                    return False
+                if all(a[d + p] & b[p] for p in range(k)):
+                    return False  # shifted overlap (i==j: border)
     return True
 
 
@@ -370,7 +460,9 @@ class PatternInfo:
     max_len: Optional[int]       # None = unbounded
     has_asserts: bool
     first_bytes: int             # bitmap; 0 when nullable start
-    literals: Optional[Tuple[bytes, ...]]  # patterns are (alts of) literals
+    literals: Optional[Tuple[object, ...]]  # patterns are (alts of)
+    # literals — each branch `bytes`, or a ClassLit (per-position byte
+    # classes, e.g. (?i)-folded literals); len() is the width for both
     literal_pids: Optional[Tuple[int, ...]]  # pattern id of each literal
     overlap_free: bool           # literals provably never overlap
     run_partition: bool          # elementwise selection applies (see
@@ -383,7 +475,7 @@ def analyze(irs) -> PatternInfo:
     for r in irs:
         b, _ = first_bytes(r)
         fb |= b
-    lits: Optional[List[bytes]] = []
+    lits: Optional[List[object]] = []
     pids: List[int] = []
     for pid, r in enumerate(irs):
         vs = alt_literals(r)
@@ -392,6 +484,27 @@ def analyze(irs) -> PatternInfo:
             break
         lits.extend(vs)
         pids.extend([pid] * len(vs))
+    if lits is None:
+        # Fixed-width class-literal fallback ((?i)-folded literals,
+        # \d\d:\d\d, ...): the literal engine's shifted-compare scan
+        # handles per-position classes without enumerating the variant
+        # set. Budget-capped on total compare terms so the elementwise
+        # formulation stays cheaper than a DFA.
+        cl: Optional[List[object]] = []
+        cp: List[int] = []
+        for pid, r in enumerate(irs):
+            vs = alt_class_literals(r)
+            if vs is None:
+                cl = None
+                break
+            cl.extend(vs)
+            cp.extend([pid] * len(vs))
+        if cl is not None and any(not isinstance(v, bytes) for v in cl):
+            terms = sum(
+                len(s) for v in cl for s in _clit_sets(v)
+            )
+            if terms <= _CLIT_MAX_TERMS:
+                lits, pids = cl, cp
     maxes = [max_len(r) for r in irs]
     return PatternInfo(
         nullable=nul,

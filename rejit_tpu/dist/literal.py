@@ -42,11 +42,10 @@ def _shard_count_fn(text_sh, n, *, lits, axis, num_shards):
 
     pos = offset + jnp.arange(S, dtype=jnp.int32)
     total = jnp.zeros((), dtype=jnp.int32)
+    from ..kernels.literal import _hit_mask
+
     for lit in lits:
-        eq = ext[0:S] == lit[0]
-        for j in range(1, len(lit)):
-            eq = jnp.logical_and(eq, ext[j : j + S] == lit[j])
-        eq = eq & (pos <= n - len(lit))
+        eq = _hit_mask(ext, S, lit) & (pos <= n - len(lit))
         total = total + jnp.sum(eq, dtype=jnp.int32)
     return jax.lax.psum(total, axis)
 

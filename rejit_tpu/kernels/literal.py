@@ -24,11 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _hit_mask(text_ext: jnp.ndarray, P: int, lit: bytes) -> jnp.ndarray:
-    """(P,) bool: lit occurs at position i (ignoring text-length validity)."""
-    eq = text_ext[0:P] == lit[0]
-    for j in range(1, len(lit)):
-        eq = jnp.logical_and(eq, text_ext[j : j + P] == lit[j])
+def _hit_mask(text_ext: jnp.ndarray, P: int, lit) -> jnp.ndarray:
+    """(P,) bool: lit occurs at position i (ignoring text-length validity).
+
+    `lit` is `bytes` or a class-literal (tuple of per-position tuples of
+    byte values — analysis.ClassLit, e.g. (?i)-folded literals): a class
+    position is the OR of |class| shifted compares, so the scan stays
+    elementwise and XLA still fuses everything into one pass."""
+    if isinstance(lit, bytes):
+        eq = text_ext[0:P] == lit[0]
+        for j in range(1, len(lit)):
+            eq = jnp.logical_and(eq, text_ext[j : j + P] == lit[j])
+        return eq
+    eq = None
+    for j, allowed in enumerate(lit):
+        win = text_ext[j : j + P]
+        pos_ok = win == allowed[0]
+        for b in allowed[1:]:
+            pos_ok = jnp.logical_or(pos_ok, win == b)
+        eq = pos_ok if eq is None else jnp.logical_and(eq, pos_ok)
     return eq
 
 
