@@ -303,6 +303,42 @@ def run_configs(size_mb: float, which, engines="all"):
                tchain(_fused_step(pi, text_i, jax, jnp), n), n,
                f"Q={pi.tables.n_states}")
 
+        # AUTO path for (?i)packet since the class-literal round: the
+        # folded literal is ONE class-literal (2 bytes/position), served
+        # by the bitpacked candidate-mask program — count/first as pure
+        # reductions, spans via the popcount peel. The fused-DFA row
+        # above becomes the general-engine comparison point.
+        pic = Pattern("(?i)packet")
+        assert pic.engine == "literal" and pic.info.overlap_free
+        exti = jax.device_put(
+            jnp.asarray(lk.extend_pad(text_i, n, pic.info.max_len))
+        )
+        ndi = jnp.int32(n)
+        wdi = lk.literal_mask_packed_device(
+            exti, ndi, lits=pic.info.literals, P=n, row_w=ROW_W2
+        )
+        _, ci = spans.extract_rows_bitmask(wdi, row_w=ROW_W2, row_cap=1)
+        bcapi = 1
+        while bcapi < int(jnp.max(ci)):
+            bcapi *= 2
+
+        def step_bmi(nv):
+            wd = lk.literal_mask_packed_device(
+                exti, nv, lits=pic.info.literals, P=n, row_w=ROW_W2
+            )
+            s, kk = spans.extract_rows_bitmask(
+                wd, row_w=ROW_W2, row_cap=bcapi
+            )
+            return jnp.sum(s, dtype=jnp.int32) + jnp.sum(kk, dtype=jnp.int32)
+
+        si0, _ = spans.extract_rows_bitmask(wdi, row_w=ROW_W2, row_cap=bcapi)
+        spi = np.asarray(si0).ravel()
+        spi = spi[spi >= 0]
+        hsi, _, _ = pic.match_all_arrays(text_i)
+        assert np.array_equal(spi, hsi), (len(spi), len(hsi))
+        report("config2_bitmask_(?i)packet", tchain(step_bmi, n), n,
+               f"cap {bcapi}, full span extraction, {len(hsi)} matches")
+
     # ---- config 3: full regex via dense DFA ----------------------------
     if 3 in which:
         # Plant real matches: the word corpus contains NO \w+ing words, so
