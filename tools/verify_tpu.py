@@ -239,12 +239,21 @@ def child(subset: int, size_mb: float, cpu: bool = False,
         make_corpus(1 << 20, seed=0, needle=b"packet", density=0.002),
         np.uint8,
     )
-    for name, txt, lits in (
-        ("sparse", sparse, (b"packet",)),
-        ("dense", dense, (b"zq", b"vw")),
+    fold = np.frombuffer(
+        make_corpus(1 << 20, seed=3, needle=b"PackEt", density=0.002),
+        np.uint8,
+    )
+    for name, txt, pat in (
+        ("sparse", sparse, "packet"),
+        ("dense", dense, "zq|vw"),
+        # class-literal branch ((?i)-folded): 2 bytes per position
+        ("fold", fold, "(?i)packet"),
     ):
+        pp = Pattern(pat)
+        assert pp.engine == "literal" and pp.info.overlap_free, pat
+        lits = pp.info.literals
         n = len(txt)
-        W = len(lits[0])
+        W = max(len(l) for l in lits)
         ext = jnp.asarray(lk.extend_pad(txt, n, W))
         words = lk.literal_mask_packed_device(
             ext, jnp.int32(n), lits=lits, P=n, row_w=32
@@ -266,13 +275,12 @@ def child(subset: int, size_mb: float, cpu: bool = False,
         if not np.array_equal(sp, want):
             log(f"D[{name}]: bitmask {len(sp)} != Larray {len(want)}")
             dbad += 1
-        pat = "|".join(l.decode() for l in lits)
-        a = Pattern(pat).match_all_arrays(txt)
+        a = pp.match_all_arrays(txt)
         b = Pattern(pat, Config(bitmask="off")).match_all_arrays(txt)
         if not all(np.array_equal(x, y) for x, y in zip(a, b)):
             log(f"D[{name}]: api bitmask branch != bitmask=off")
             dbad += 1
-    log("D: bitpacked spans program checked (sparse + dense)")
+    log("D: bitpacked spans program checked (sparse + dense + fold)")
     if dbad:
         print(json.dumps({"ok": False, "stage": "D", "bad": dbad}))
         sys.exit(1)
@@ -281,7 +289,7 @@ def child(subset: int, size_mb: float, cpu: bool = False,
         "engine_patterns": len(ENGINE_PATTERNS),
         "conformance_cases": len(picked),
         "elementwise_cases": ccnt,
-        "bitmask_cases": 4,
+        "bitmask_cases": 6,
         "platform": dev.platform,
     }))
 
