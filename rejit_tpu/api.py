@@ -757,6 +757,25 @@ class Pattern:
 
     # -- MatchType API ------------------------------------------------------
 
+    _ORACLE_WARN_BYTES = 1 << 20
+
+    def _oracle_guard(self, n: int) -> None:
+        """Call-time cost warning for oracle-engine scans: the compile-time
+        fallback warning may have scrolled away long before a multi-megabyte
+        scan is issued, and the oracle runs at Python speed (~100 KB/s)."""
+        if n > self._ORACLE_WARN_BYTES:
+            import warnings
+
+            warnings.warn(
+                f"pattern {[p.decode('latin-1') for p in self.source]} is "
+                f"served by the pure-Python NFA oracle engine; scanning "
+                f"{n} bytes may take minutes to hours. Raise "
+                "Config(max_dfa_states=...) for a device engine, or "
+                "pre-filter the corpus.",
+                RuntimeWarning,
+                stacklevel=4,
+            )
+
     def _record(self, op, n_bytes, n_matches, t_dev, t_all, n_cand=0,
                 t_sel=0.0):
         self.last_stats = MatchStats(
@@ -859,6 +878,7 @@ class Pattern:
     def match_full(self, text: TextLike) -> bool:
         t, corpus = _unwrap(text)
         if self._oracle:
+            self._oracle_guard(len(t))
             with Timer() as t_all:
                 got = self._oracle.match_full(t.tobytes())
             self._record("match_full", len(t), int(got), 0.0, t_all.elapsed)
@@ -874,6 +894,7 @@ class Pattern:
     def match_anywhere(self, text: TextLike) -> bool:
         t, corpus = _unwrap(text)
         if self._oracle:
+            self._oracle_guard(len(t))
             with Timer() as t_all:
                 got = self._oracle.match_anywhere(t.tobytes())
             self._record("match_anywhere", len(t), int(got), 0.0,
@@ -908,6 +929,7 @@ class Pattern:
     def match_first(self, text: TextLike) -> Optional[Span]:
         t, corpus = _unwrap(text)
         if self._oracle:
+            self._oracle_guard(len(t))
             with Timer() as t_all:
                 m = self._oracle.match_first(t.tobytes())
             self._record("match_first", len(t), int(m is not None), 0.0,
@@ -961,6 +983,7 @@ class Pattern:
         DeviceCorpus (see `stage`) to skip per-call staging."""
         t, corpus = _unwrap(text)
         if self._oracle:
+            self._oracle_guard(len(t))
             with Timer() as t_all:
                 triples = self._oracle.match_all_ids(t.tobytes())
             arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
@@ -1169,6 +1192,7 @@ class Pattern:
     def match_all_count(self, text: TextLike) -> int:
         t, corpus = _unwrap(text)
         if self._oracle:
+            self._oracle_guard(len(t))
             with Timer() as t_all:
                 cnt = self._oracle.match_all_count(t.tobytes())
             self._record("match_all_count", len(t), cnt, 0.0, t_all.elapsed)
@@ -1213,22 +1237,25 @@ class Pattern:
             # (kernels/schain_pallas.count_device_staged).
             from .kernels import schain_pallas
 
-            cnt = self._fused_run(
-                t, corpus,
-                lambda staged, n_, fblock, fchl:
-                schain_pallas.count_device_staged(
-                    self._schain_static,
-                    self.tables.n_patterns,
-                    staged,
-                    jnp.int32(n_),
-                    block=fblock,
-                    chl=fchl,
-                    interpret=self.config.interpret,
-                    use_ff=self.config.use_ff,
-                    rolled=self._fused_rolled(),
-                ),
-            )
+            with Timer() as t_all:
+                cnt = self._fused_run(
+                    t, corpus,
+                    lambda staged, n_, fblock, fchl:
+                    schain_pallas.count_device_staged(
+                        self._schain_static,
+                        self.tables.n_patterns,
+                        staged,
+                        jnp.int32(n_),
+                        block=fblock,
+                        chl=fchl,
+                        interpret=self.config.interpret,
+                        use_ff=self.config.use_ff,
+                        rolled=self._fused_rolled(),
+                    ),
+                )
             if cnt is not None:
+                self._record("match_all_count", len(t), int(cnt),
+                             t_all.elapsed, t_all.elapsed)
                 return int(cnt)
         cnt = len(self.match_all_arrays(text)[0])
         self.last_stats.op = "match_all_count"

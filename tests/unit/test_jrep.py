@@ -57,6 +57,19 @@ def test_count_matches(tree):
     assert r.stdout.strip() == "2"
 
 
+def test_count_lines_zero_row(tree):
+    """grep -c parity: files with zero matching lines still print a
+    `file:0` row (round-4 VERDICT weak #5)."""
+    r = run_jrep(["-c", "needle", str(tree / "a.txt"), str(tree / "b.txt")])
+    lines = sorted(r.stdout.strip().splitlines())
+    assert any(x.endswith("a.txt:1") for x in lines)
+    assert any(x.endswith("b.txt:0") for x in lines)
+    # single-file form: bare 0, exit code 1 (no matches)
+    r2 = run_jrep(["-c", "zzz", str(tree / "b.txt")])
+    assert r2.stdout.strip() == "0"
+    assert r2.returncode == 1
+
+
 def test_no_match_exit_code(tree):
     r = run_jrep(["zzz", str(tree / "b.txt")])
     assert r.returncode == 1

@@ -106,6 +106,17 @@ def test_syntax_errors(bad):
         parse(bad)
 
 
+def test_mid_pattern_inline_flag_rejected():
+    """(?i) is only supported as a whole-pattern prefix; mid-pattern
+    occurrences must raise with a clear message (docs/SEMANTICS.md)."""
+    for bad in ("ab(?i)cd", "a|(?i)b", "((?i)a)"):
+        with pytest.raises(RegexpError) as ei:
+            parse(bad)
+        assert "(?i)" in str(ei.value)
+    # The prefix form stays accepted.
+    parse("(?i)abc")
+
+
 def test_error_carries_position():
     with pytest.raises(RegexpError) as ei:
         parse("ab(cd")

@@ -159,6 +159,9 @@ def main(argv=None) -> int:
             print(f"{path}:{len(starts)}" if multi else len(starts))
             return False
         if len(starts) == 0:
+            if args.count_lines:
+                # grep -c parity: zero-count files still print a row.
+                print(f"{path}:0" if multi else 0)
             return False
         any_match = True
         if args.quiet:
