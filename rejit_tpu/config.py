@@ -57,6 +57,24 @@ class Config:
     # 'on' (default) or 'off' (hard-fail with StateBlowupError).
     oracle_fallback: str = "on"
 
+    # Device-speed engine for DFA-blowup patterns: the position-NFA
+    # bit-set engine (compile/posnfa.py + engine/nfaset.py), tried BEFORE
+    # the pure-Python oracle when subset construction blows up. Memory
+    # and per-byte cost are linear in pattern size — the reference's
+    # state-ring scaling class (SURVEY.md §2.1/C6). 'auto' (default) or
+    # 'off' (skip straight to the oracle fallback). 'on' forces it as
+    # the engine regardless of DFA viability (engine='posnfa' works too).
+    posnfa: str = "auto"
+
+    # Position budget for the posnfa engine (bit-set width = Q positions;
+    # packed-word select chains cost ~Q*W per byte, so this caps per-byte
+    # device work, not memory).
+    max_pos_states: int = 224
+
+    # Text block size for the posnfa engine (threads per block; must be a
+    # multiple of 32 — thread occupancy is tracked in packed uint32s).
+    posnfa_block: int = 32
+
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False
 

@@ -113,6 +113,47 @@ def literal_mask_packed_device(
     return jnp.sum(bits, axis=1, dtype=jnp.uint32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("lits", "pids", "n_pat", "P", "row_w")
+)
+def literal_mask_packed_by_pid_device(
+    text_ext: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    lits: Tuple[bytes, ...],
+    pids: Tuple[int, ...],
+    n_pat: int,
+    P: int,
+    row_w: int = 32,
+) -> jnp.ndarray:
+    """(n_pat, ceil(P/row_w)*row_w/32) uint32: per-pattern-id packed
+    candidate-start masks, each pattern's literal set evaluated
+    INDEPENDENTLY (no cross-pattern claim priority).
+
+    This is the one-dispatch regexdna mode (reference semantics:
+    rejit:sample/regexdna.cc counts each variant on its own scan —
+    SURVEY.md §2.1/C12): XLA fuses every literal's shifted compares into
+    ONE pass over the text; the per-pid bit-rows are the only HBM output
+    (P/8 bytes each). Exact non-overlap counts are then a host-side
+    greedy pass over the sparse candidate bits (api.match_all_count_each).
+    """
+    assert row_w % 32 == 0, row_w
+    pos = jnp.arange(P, dtype=jnp.int32)
+    Ppad = -(-P // row_w) * row_w
+    shift = jnp.arange(32, dtype=jnp.uint32)
+    rows = []
+    for p in range(n_pat):
+        m = jnp.zeros(P, dtype=bool)
+        for lit, pid in zip(lits, pids):
+            if pid != p:
+                continue
+            m = m | (_hit_mask(text_ext, P, lit) & (pos <= n - len(lit)))
+        m = jnp.concatenate([m, jnp.zeros(Ppad - P, dtype=bool)])
+        bits = m.reshape(-1, 32).astype(jnp.uint32) << shift
+        rows.append(jnp.sum(bits, axis=1, dtype=jnp.uint32))
+    return jnp.stack(rows)
+
+
 @functools.partial(jax.jit, static_argnames=("lits", "pids", "P"))
 def literal_l_arrays_device(
     text_ext: jnp.ndarray,

@@ -74,13 +74,17 @@ def main():
     from rejit_tpu import stage
 
     staged = stage(stripped)
-    for pat in VARIANTS:
-        # Case-insensitive matching via the (?i) prefix. (An earlier
-        # revision hand-wrapped letters in [cC] classes, which mangles
-        # letters INSIDE the variant's own classes — '[acg]' became the
-        # class-sequence '[[aA][cC][gG]]' requiring a literal ']' — and
-        # silently zeroed every variant count.)
-        print(f"{pat} {Pattern('(?i)' + pat).match_all_count(staged)}")
+    # ONE device program counts all nine variants: each (?i)-folded variant
+    # is a class-literal set, so the per-pid packed candidate masks fuse
+    # into a single pass over the text (match_all_count_each) — round 4's
+    # nine sequential dispatches paid ~9x the tunnel RTT for the same
+    # bytes. (The (?i) prefix does the case folding; an earlier revision
+    # hand-wrapped letters in [cC] classes, which mangled classes inside
+    # the variants and silently zeroed every count.)
+    nine = Pattern(["(?i)" + pat for pat in VARIANTS])
+    counts = nine.match_all_count_each(staged)
+    for pat, cnt in zip(VARIANTS, counts):
+        print(f"{pat} {cnt}")
 
     # All 11 IUB substitutions in ONE multi-pattern pass: the codes are
     # disjoint single-character classes and no replacement string contains

@@ -3,8 +3,10 @@
 The reference's state-ring NFA executes any supported pattern in memory
 linear in pattern size (SURVEY.md §2.1/C6); our table compiler can blow up
 on subset construction instead. The API layer therefore retries with a 4x
-budget and then falls back to the NFA-simulation oracle (api.py
-_blowup_fallback), differential-tested here against the oracle directly.
+budget, then switches to the device-speed position-NFA bit-set engine
+(compile/posnfa.py + engine/nfaset.py), and only as a last resort to the
+pure-Python NFA oracle (api.py _blowup_fallback) — all differential-tested
+here against the oracle directly.
 """
 import warnings
 
@@ -28,12 +30,14 @@ def test_escalation_keeps_dfa_engine():
     assert p.match_all(TEXT) == oracle.OraclePattern(BLOWUP5).match_all(TEXT)
 
 
-def test_oracle_fallback_spans_match():
+def test_posnfa_fallback_spans_match():
+    """Blowup patterns now land on the device-speed position-NFA engine,
+    not the Python oracle (round-4 VERDICT missing #1)."""
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         p = Pattern(BLOWUP9, Config(max_dfa_states=64))
-    assert p.engine == "oracle"
-    assert any("falling back" in str(x.message) for x in w)
+    assert p.engine == "posnfa"
+    assert any("position-NFA" in str(x.message) for x in w)
     orc = oracle.OraclePattern(BLOWUP9)
     assert p.match_all(TEXT) == orc.match_all(TEXT)
     assert p.match_first(TEXT) == orc.match_first(TEXT)
@@ -42,10 +46,11 @@ def test_oracle_fallback_spans_match():
     assert p.match_all_count(TEXT) == orc.match_all_count(TEXT)
 
 
-def test_oracle_fallback_stream_ops():
+def test_posnfa_fallback_stream_ops():
     with warnings.catch_warnings(record=True):
         warnings.simplefilter("ignore")
         p = Pattern(BLOWUP9, Config(max_dfa_states=64))
+    assert p.engine == "posnfa"
     starts, ends, pids = p.match_all_stream(TEXT)
     want = oracle.OraclePattern(BLOWUP9).match_all_ids(TEXT)
     assert list(zip(starts.tolist(), ends.tolist(), pids.tolist())) == want
@@ -56,13 +61,31 @@ def test_oracle_fallback_stream_ops():
     assert not p.match_full_stream(TEXT)
 
 
+def test_oracle_fallback_when_posnfa_off():
+    """The oracle remains the last resort (posnfa='off' or position
+    budget exceeded)."""
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        p = Pattern(BLOWUP9, Config(max_dfa_states=64, posnfa="off"))
+    assert p.engine == "oracle"
+    assert any("falling back" in str(x.message) for x in w)
+    orc = oracle.OraclePattern(BLOWUP9)
+    assert p.match_all(TEXT) == orc.match_all(TEXT)
+    # Position budget too small for the pattern: oracle again.
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        p2 = Pattern(BLOWUP9, Config(max_dfa_states=64, max_pos_states=8))
+    assert p2.engine == "oracle"
+    assert p2.match_all_count(TEXT) == orc.match_all_count(TEXT)
+
+
 def test_oracle_scan_size_guard_warns(monkeypatch):
     """Oracle-engine scans above the size threshold warn at CALL time
     (the compile-time fallback warning may have scrolled away) — round-4
     VERDICT weak #4."""
     with warnings.catch_warnings(record=True):
         warnings.simplefilter("ignore")
-        p = Pattern(BLOWUP9, Config(max_dfa_states=64))
+        p = Pattern(BLOWUP9, Config(max_dfa_states=64, posnfa="off"))
     assert p.engine == "oracle"
     monkeypatch.setattr(Pattern, "_ORACLE_WARN_BYTES", 16)
     with warnings.catch_warnings(record=True) as w:
@@ -88,10 +111,12 @@ def test_fallback_off_still_raises():
 
 
 def test_verdict_pattern_default_config():
-    # The exact round-2 VERDICT repro: must return correct spans, not raise.
+    # The exact round-2 VERDICT repro: must return correct spans, not
+    # raise — and since round 5, on the DEVICE engine.
     pat = r"(a|b)*a(a|b){14}"
     with warnings.catch_warnings(record=True):
         warnings.simplefilter("ignore")
         p = Pattern(pat)
+    assert p.engine == "posnfa"
     text = b"bb" + b"a" * 20 + b"xx" + b"ab" * 9
     assert p.match_all(text) == oracle.OraclePattern(pat).match_all(text)

@@ -29,6 +29,41 @@ def test_variant_counts_match_python_re():
     assert any_nonzero
 
 
+def test_count_each_one_call_matches_python_re():
+    """The one-dispatch nine-variant path (match_all_count_each) must
+    reproduce the per-variant sequential counts exactly."""
+    data = rd.make_fasta(30_000, seed=7)
+    stripped = Pattern(rb"(>[^\n]*\n)|\n").replace(data, b"")
+    nine = Pattern(["(?i)" + v for v in rd.VARIANTS])
+    got = nine.match_all_count_each(np.frombuffer(stripped, np.uint8))
+    assert nine.last_stats.op == "match_all_count_each"
+    # Every variant rode the fused one-dispatch literal pass.
+    assert nine.last_stats.device_time_s > 0
+    for pat, g in zip(rd.VARIANTS, got):
+        assert g == len(re.findall(pat.encode(), stripped, re.I)), pat
+    assert got.sum() > 0
+
+
+def test_count_each_nonoverlap_and_mixed_width():
+    """Independent per-pattern counting with bordered literals (overlap
+    suppression inside one pid) and mixed widths inside one pid."""
+    p = Pattern(["aa|bbb", "ab"])
+    text = b"aaaa bbbbb abab aa"
+    got = p.match_all_count_each(np.frombuffer(text, np.uint8))
+    assert list(got) == [
+        len(re.findall(b"aa|bbb", text)),
+        len(re.findall(b"ab", text)),
+    ]
+    # Non-literal engine: falls back to one count per pattern.
+    q = Pattern([r"[a-z]+", r"\d+"])
+    t2 = b"abc 123 zz9"
+    got2 = q.match_all_count_each(np.frombuffer(t2, np.uint8))
+    assert list(got2) == [
+        len(re.findall(rb"[a-z]+", t2)),
+        len(re.findall(rb"\d+", t2)),
+    ]
+
+
 def test_iub_substitution_matches_python_re():
     data = rd.make_fasta(10_000, seed=3)
     stripped = Pattern(rb"(>[^\n]*\n)|\n").replace(data, b"")
