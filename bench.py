@@ -7,6 +7,15 @@ L/I arrays -> candidate compaction -> non-overlap selection -> compacted
 -eliminated; span parity vs the host path is asserted before timing.
 The easier MatchAllCount reduction is reported alongside as "count_value".
 
+Materialization delta: reducing each rep's span array to a checksum keeps
+every element live but lets XLA fuse the reduction, so the ~5 MB (R, cap)
+array a real caller receives need not be written to HBM (~6.4 us at
+819 GB/s on 10 MB => the fused-checksum rate overstates the delivered-array
+rate by up to ~20% at 400 GB/s). "materialized_value" times a variant that
+carries the full span array through the scan (the loop-carry buffer forces
+the HBM write every rep) — that is the rate for a caller that takes
+delivery of the array.
+
 Prints ONE JSON line:
   {"metric": ..., "value": bytes/s/chip, "unit": "bytes/s", "vs_baseline": r}
 vs_baseline is the ratio against the BASELINE.json target of 10 GB/s/chip
@@ -242,9 +251,49 @@ def measure_child() -> dict:
         rounds_out=raw_rounds["spans"],
     )
     bps = n / best_spans
+
+    # ---- materialized variant (VERDICT r4 weak #2) -----------------------
+    # The headline scan reduces each rep's span array to a checksum carry;
+    # every output element is consumed (nothing is DCE'd) but XLA may fuse
+    # the reduction so the (R, cap) array a real caller RECEIVES is never
+    # written to HBM (~5 MB => ~6.4 us at 819 GB/s). This variant carries
+    # the FULL span array through the scan — the loop carry buffer forces
+    # the HBM write every rep — so its rate is what a caller that takes
+    # delivery of the array sees.
+    sfirst = jnp.int32(int(np.asarray(s_d).ravel()[0]))
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def span_chain_mat(nv, exp_ck, s0, reps):
+        def body(carry, _):
+            s_prev, c = carry
+            # Both terms are 0 every iteration but depend on the carry
+            # (the checksum AND the materialized array), so no rep can be
+            # elided and s_prev must exist as a real buffer.
+            dep = ((c - exp_ck) & 1) + ((s_prev[0, 0] - sfirst) & 1)
+            m = mask_fn(nv + dep)
+            s, kk = spans_mod.extract_rows_bitmask(
+                m, row_w=ROW_W, row_cap=cap
+            )
+            ck = jnp.sum(s, dtype=jnp.int32) + jnp.sum(kk, dtype=jnp.int32)
+            return (s, ck), None
+        (s, ck), _ = jax.lax.scan(body, (s0, exp_ck), None, length=reps)
+        return ck + 0 * s[0, 0]
+
+    raw_rounds["spans_materialized"] = []
+    log("spans-out MatchAll, span array materialized per rep:")
+    s0 = jnp.asarray(s_d)
+    best_mat = slope(
+        lambda reps: span_chain_mat(n_dev, exp_ck, s0, reps=reps),
+        lambda r: None if r == exp_int else (_ for _ in ()).throw(
+            AssertionError((r, exp_int))
+        ),
+        rounds_out=raw_rounds["spans_materialized"],
+    )
+    mat_bps = n / best_mat
     log(
         f"headline spans-out: {best_spans*1e6:.1f} us/10MB -> "
-        f"{bps/1e9:.1f} GB/s; count path {count_bps/1e9:.1f} GB/s"
+        f"{bps/1e9:.1f} GB/s; materialized {mat_bps/1e9:.1f} GB/s; "
+        f"count path {count_bps/1e9:.1f} GB/s"
     )
     # Degraded-window gate: >10 ms of DEVICE time per 10 MB is not
     # TPU-class; signal the parent to retry in a later window.
@@ -261,6 +310,7 @@ def measure_child() -> dict:
                 "unit": "bytes/s",
                 "vs_baseline": bps / TARGET,
                 "count_value": count_bps,
+                "materialized_value": mat_bps,
                 "n_matches": k,
                 "raw_rounds": raw_rounds,
             }

@@ -146,10 +146,19 @@ def run_configs(size_mb: float, which, engines="all"):
     slow = engines == "all"
     results = {}
 
-    def report(name, seconds, nbytes, extra=""):
+    def report(name, seconds, nbytes, extra="", kind="device"):
+        """kind='device' rows are chained-reps DEVICE rates; kind='wall'
+        rows are single-dispatch wall clock and therefore bounded by the
+        tunnel's ~25 MB/s pipe / per-dispatch RTT on this rig, NOT by the
+        chip (bench/NOTES.md round-3 e2e roofline) — a 0.01 GB/s wall row
+        is the transfer floor, not a kernel regression."""
         gbps = nbytes / seconds / 1e9
-        results[name] = {"seconds": seconds, "bytes": nbytes, "GBps": gbps}
-        log(f"{name}: {seconds*1e3:.3f} ms -> {gbps:.2f} GB/s {extra}")
+        results[name] = {
+            "seconds": seconds, "bytes": nbytes, "GBps": gbps,
+            "kind": kind, "note": extra,
+        }
+        log(f"{name}: {seconds*1e3:.3f} ms -> {gbps:.2f} GB/s [{kind}] "
+            f"{extra}")
 
     # ---- config 1: literal MatchAll ------------------------------------
     if 1 in which:
@@ -415,6 +424,42 @@ def run_configs(size_mb: float, which, engines="all"):
         assert pll.match_all(sliceq) == want_l
         report("config3_classlit_largeq", tchain(step_ll, n), n,
                "Q=152-equivalent [A-Za-z]{30,60}ing via classlit")
+        # DFA-blowup family on the position-NFA bit-set engine (round 5):
+        # (a|b)*a(a|b){14} needs a ~2^15-state DFA; the position
+        # automaton has Q=32 and runs on device (engine/nfaset.py).
+        from rejit_tpu.compile import parser as rparser3
+        from rejit_tpu.compile import posnfa as posnfa_mod
+        from rejit_tpu.engine import nfaset
+
+        rngb = np.random.default_rng(7)
+        tb = rngb.choice(np.frombuffer(b"aabbx", np.uint8), size=n)
+        ptb = posnfa_mod.compile_posnfa(
+            [rparser3.parse(rb"(a|b)*a(a|b){14}")]
+        )
+        Kb = 32
+        Pb = -(-n // Kb) * Kb
+        padb = np.zeros(Pb, np.uint8)
+        padb[:n] = tb
+        tdb = jax.device_put(jnp.asarray(padb))
+
+        def step_nfa(nv):
+            L, I = nfaset.l_arrays_device_nfaset(ptb, tdb, nv, block=Kb)
+            return (
+                jnp.sum(L, dtype=jnp.int32) + jnp.sum(I, dtype=jnp.int32)
+            )
+
+        # Parity on a prefix vs the oracle (full-text oracle is hours).
+        npfx = 4096
+        pfx_pad = np.zeros(npfx, np.uint8)
+        pfx_pad[:npfx] = padb[:npfx]
+        Lh, _ = nfaset.l_arrays(ptb, pfx_pad, npfx)
+        orcb = oracle.OraclePattern(rb"(a|b)*a(a|b){14}")
+        pfx = tb[:npfx].tobytes()
+        for s in (0, 1, 7, npfx // 2, npfx - 20):
+            e, _pid = orcb.longest_end(pfx, s)
+            assert Lh[s] == (e if e is not None else -1), s
+        report("config3_posnfa_blowup", tchain(step_nfa, n), n,
+               "(a|b)*a(a|b){14} Q=32 posnfa (DFA ~2^15 states)")
         # Spans-out end-to-end: fused L/I -> gather-free row extraction ->
         # checksum (the general-DFA analog of the bench.py headline).
         from rejit_tpu.engine import schain as se3, spans as spans3
@@ -510,7 +555,7 @@ def run_configs(size_mb: float, which, engines="all"):
             e2e_best = dt if e2e_best is None else min(e2e_best, dt)
             n_tok = len(starts)
         report("config4_tokenizer_e2e", e2e_best, n,
-               f"{n_tok} tokens (1-byte/pos transfer, min of 3)")
+               f"{n_tok} tokens (1-byte/pos transfer, min of 3)", kind="wall")
 
         # Count e2e: pure device reduction + one scalar readback.
         p.match_all_count(text)  # warm
@@ -521,7 +566,7 @@ def run_configs(size_mb: float, which, engines="all"):
             dt = time.perf_counter() - t0
             cnt_best = dt if cnt_best is None else min(cnt_best, dt)
         report("config4_count_e2e", cnt_best, n,
-               f"{cnt} tokens (single call, RTT included)")
+               f"{cnt} tokens (single call, RTT included)", kind="wall")
 
         # Dense spans-out ON DEVICE, chained: fused L/I -> ELEMENTWISE
         # non-overlap selection (partition_select_mask; the old
@@ -640,7 +685,7 @@ def run_configs(size_mb: float, which, engines="all"):
             run5()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        report("config5_stream_e2e", best, n, f"chunks of {cb>>20}MB")
+        report("config5_stream_e2e", best, n, f"chunks of {cb>>20}MB", kind="wall")
 
     return results
 
