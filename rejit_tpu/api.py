@@ -489,7 +489,9 @@ class Pattern:
         if self.engine == "posnfa":
             from .engine import nfaset
 
-            K = self.config.posnfa_block
+            K = self.config.posnfa_block or (
+                64 if self._posnfa.W == 1 else 128
+            )
             P = _bucket_blocks(max(1, -(-n // K))) * K
             pad = np.zeros(P, dtype=np.uint8)
             pad[:n] = text

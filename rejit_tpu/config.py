@@ -73,7 +73,10 @@ class Config:
 
     # Text block size for the posnfa engine (threads per block; must be a
     # multiple of 32 — thread occupancy is tracked in packed uint32s).
-    posnfa_block: int = 32
+    # None = auto by packed-word count (the K knob trades the suffix
+    # scan's per-byte cost ~Q^2*W*log(nb)/K against phase 3's ~10*Q*K/32;
+    # measured sweep in bench/NOTES.md round 5).
+    posnfa_block: Optional[int] = None
 
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False

@@ -178,6 +178,12 @@ def _step(pt, st, cols, m, i, cls_s, fx, valid, pos, R):
                 for oc in range(n_occ):
                     accw[oc] = accw[oc] | jnp.where(g, cols[oc][j], zero)
         hit = _expand(accw, R) & valid[None, :]
+        if i is None:
+            # Single pattern: pid is implied (engine top-level emits
+            # I = 0 where L >= 0), so only m is tracked — drops one
+            # select per step and the whole i side of the suffix scan.
+            m = jnp.where(hit, pos[None, :], m)
+            continue
         claim = hit if hit_any is None else (hit & ~hit_any)
         m = jnp.where(claim, pos[None, :], m)
         i = jnp.where(claim, p, i)
@@ -234,6 +240,7 @@ def _phase1(pt, st, cls_kb, fx_kb, pos_kb, n):
             jnp.broadcast_to(jnp.asarray(rows), (Q, nb)).astype(U32)
         )
     m0 = jnp.full((Q, nb), -1, jnp.int32)
+    i0 = None if pt.n_patterns == 1 else m0
 
     def body(carry, xs):
         cols, m, i = carry
@@ -246,12 +253,12 @@ def _phase1(pt, st, cls_kb, fx_kb, pos_kb, n):
         return (tuple(cols), m, i), None
 
     (cols, m, i), _ = jax.lax.scan(
-        body, (tuple(init_cols), m0, m0),
+        body, (tuple(init_cols), m0, i0),
         (cls_kb, fx_kb, pos_kb),
     )
     # Transposed relation: fT[w][b, e] = start-bits (word w) reaching e.
     fT = [c.T for c in cols]
-    return fT, m.T, i.T
+    return fT, m.T, None if i is None else i.T
 
 
 # ---------------------------------------------------------------------------
@@ -271,11 +278,15 @@ def _combine(pt, a, b):
         for w in range(W):
             outT[w] = outT[w] | jnp.where(live, aT[w][:, r:r + 1], U32(0))
     mg = jnp.full(ma.shape, -1, jnp.int32)
-    ig = jnp.full(ma.shape, -1, jnp.int32)
+    ig = None if ib is None else jnp.full(ma.shape, -1, jnp.int32)
     for e in range(Q):
         bits = _expand([aT[w][:, e] for w in range(W)], Q)    # (Q, nb)!
         bits = bits.T                                          # (nb, Q)
         mb_e = mb[:, e:e + 1]
+        if ib is None:
+            better = bits & (mb_e > mg)
+            mg = jnp.where(better, mb_e, mg)
+            continue
         ib_e = ib[:, e:e + 1]
         better = bits & (
             (mb_e > mg) | ((mb_e == mg) & (ib_e < ig))
@@ -283,7 +294,9 @@ def _combine(pt, a, b):
         mg = jnp.where(better, mb_e, mg)
         ig = jnp.where(better, ib_e, ig)
     later = mg >= 0
-    return outT, jnp.where(later, mg, ma), jnp.where(later, ig, ia)
+    m_out = jnp.where(later, mg, ma)
+    i_out = None if ib is None else jnp.where(later, ig, ia)
+    return outT, m_out, i_out
 
 
 def _suffix_scan(pt, elems, tail):
@@ -297,10 +310,11 @@ def _suffix_scan(pt, elems, tail):
     id_rows = np.zeros((W, 1, Q), dtype=np.uint32)
     for j in range(Q):
         id_rows[j // 32, 0, j] = np.uint32(1 << (j % 32))
+    neg1 = jnp.full((1, Q), -1, jnp.int32)
     identity = (
         [jnp.asarray(id_rows[w]) for w in range(W)],
-        jnp.full((1, Q), -1, jnp.int32),
-        jnp.full((1, Q), -1, jnp.int32),
+        neg1,
+        None if i is None else neg1,
     )
 
     def shift1(el, fill):
@@ -311,7 +325,10 @@ def _suffix_scan(pt, elems, tail):
             for w in range(W)
         ]
         out_m = jnp.concatenate([m_[1:], jnp.broadcast_to(mF, (1, Q))])
-        out_i = jnp.concatenate([i_[1:], jnp.broadcast_to(iF, (1, Q))])
+        out_i = (
+            None if i_ is None
+            else jnp.concatenate([i_[1:], jnp.broadcast_to(iF, (1, Q))])
+        )
         return out_f, out_m, out_i
 
     def shift_dyn(el, d):
@@ -331,7 +348,7 @@ def _suffix_scan(pt, elems, tail):
         return (
             [sl(fT_[w], idf[w]) for w in range(W)],
             sl(m_, idm),
-            sl(i_, idi),
+            None if i_ is None else sl(i_, idi),
         )
 
     S = shift1((fT, m, i), tail)
@@ -353,11 +370,13 @@ def _eot_tail(pt, st, ctx_last, n):
     f_eot = jnp.asarray(np.asarray(pt.fidx_eot, np.int32))[ctx_last]
     accs = jnp.asarray(acc_bool)[f_eot] if n_pat else None  # (n_pat, Q)
     m_t = jnp.full((1, Q), -1, jnp.int32)
-    i_t = jnp.full((1, Q), -1, jnp.int32)
+    single = n_pat == 1
+    i_t = None if single else jnp.full((1, Q), -1, jnp.int32)
     for p in range(n_pat):
         claim = accs[p][None, :] & (m_t < 0)
         m_t = jnp.where(claim, n, m_t)
-        i_t = jnp.where(claim, p, i_t)
+        if not single:
+            i_t = jnp.where(claim, p, i_t)
     id_rows = np.zeros((W, 1, Q), dtype=np.uint32)
     for j in range(Q):
         id_rows[j // 32, 0, j] = np.uint32(1 << (j % 32))
@@ -401,26 +420,34 @@ def _phase3(pt, st, suf, cls_kb, fx_kb, pos_kb, n):
         )
         return (tuple(cols), m, i), None
 
+    single = pt.n_patterns == 1
     (cols, m, i), _ = jax.lax.scan(
-        body, (init_cols, m0, m0),
+        body, (init_cols, m0, None if single else m0),
         (cls_kb, fx_kb, pos_kb, inj),
     )
 
     # Splice the block's exclusive suffix for threads alive at block end.
     _, m_suf, i_suf = suf
     m_tail = jnp.full((K, nb), -1, jnp.int32)
-    i_tail = jnp.full((K, nb), -1, jnp.int32)
+    i_tail = None if single else jnp.full((K, nb), -1, jnp.int32)
     for e in range(Q):
         occ = _expand([cols[oc][e] for oc in range(n_occ)], K)  # (K, nb)
         me = m_suf[:, e][None, :]
+        if single:
+            better = occ & (me > m_tail)
+            m_tail = jnp.where(better, me, m_tail)
+            continue
         ie = i_suf[:, e][None, :]
         better = occ & ((me > m_tail) | ((me == m_tail) & (ie < i_tail)))
         m_tail = jnp.where(better, me, m_tail)
         i_tail = jnp.where(better, ie, i_tail)
     later = m_tail >= 0
     L = jnp.where(later, m_tail, m)
-    I = jnp.where(later, i_tail, i)
-    return L.T.reshape(K * nb), I.T.reshape(K * nb)
+    I = None if single else jnp.where(later, i_tail, i)
+    return (
+        L.T.reshape(K * nb),
+        None if single else I.T.reshape(K * nb),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -477,11 +504,15 @@ def l_arrays_device_nfaset(
     # Boundary P: EOT acceptance of a fresh thread ({bit 0}).
     _, m_t, i_t = tail
     L_P = m_t[0, 0][None]
-    I_P = i_t[0, 0][None]
     L = jnp.concatenate([L, L_P])
-    I = jnp.concatenate([I, I_P])
     bidx = jnp.arange(P + 1, dtype=jnp.int32)
     L = jnp.where(bidx <= n, L, -1)
+    if I is None:
+        # Single pattern: pid 0 wherever a match ends.
+        I = jnp.where(L >= 0, 0, -1)
+        return L, I
+    I_P = i_t[0, 0][None]
+    I = jnp.concatenate([I, I_P])
     I = jnp.where(bidx <= n, I, -1)
     return L, I
 

@@ -68,6 +68,20 @@ def test_dfa_engine_matches_oracle(pat, text):
     assert p.match_full(text) == orc.match_full(text), (pat, text)
 
 
+@settings(max_examples=40, deadline=None)
+@given(pat=patterns(), text=texts)
+def test_posnfa_engine_matches_oracle(pat, text):
+    """The position-NFA bit-set engine over the same random grammar —
+    assertion variants, nullable heads, empty matches included."""
+    try:
+        p = Pattern(pat, Config(engine="posnfa", posnfa_block=32))
+    except Exception:
+        return  # pattern rejected by compiler limits: fine
+    orc = oracle.OraclePattern(pat)
+    assert p.match_all(text) == orc.match_all(text), (pat, text)
+    assert p.match_full(text) == orc.match_full(text), (pat, text)
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     lits=st.lists(

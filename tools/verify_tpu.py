@@ -284,12 +284,70 @@ def child(subset: int, size_mb: float, cpu: bool = False,
     if dbad:
         print(json.dumps({"ok": False, "stage": "D", "bad": dbad}))
         sys.exit(1)
+    # ---- E. position-NFA bit-set engine (round 5) on the chip ----------
+    # E1: bit-equality vs the DFA pipeline on a DFA-able pattern (full
+    # corpus); E2: blowup-class patterns (DFA would explode) vs the
+    # oracle on sampled boundaries of a 2 KB text — incl. an
+    # assertion-bearing case (F=2 closure variants).
+    from rejit_tpu import oracle as orc_mod
+    from rejit_tpu.compile import posnfa as posnfa_mod
+    from rejit_tpu.engine import nfaset
+
+    ebad = 0
+    tE = compile_patterns([rparser.parse(rb"\w+ing\b")])
+    ctE = pipeline.device_tables(tE)
+    ptE = posnfa_mod.compile_posnfa([rparser.parse(rb"\w+ing\b")])
+    KE = 32
+    nE = min(n, 1 << 20)
+    PE = -(-nE // KE) * KE
+    padE = np.zeros(PE, np.uint8)
+    padE[:nE] = texts["dense"][:nE]
+    padE_d = jax.device_put(jnp.asarray(padE))
+    LE1, IE1 = jax.device_get(
+        pipeline.l_arrays_device(ctE, padE_d, jnp.int32(nE), block=KE)
+    )
+    LE2, IE2 = jax.device_get(
+        nfaset.l_arrays_device_nfaset(ptE, padE_d, jnp.int32(nE), block=KE)
+    )
+    if not (np.array_equal(LE1, LE2) and np.array_equal(IE1, IE2)):
+        dl = np.nonzero(LE1 != LE2)[0]
+        log(f"E1: posnfa != dfa pipeline, {len(dl)} L diffs {dl[:8]}")
+        ebad += 1
+    log(f"E1: posnfa == dfa pipeline on \\w+ing\\b ({nE} bytes)")
+    for pat, alpha in (
+        (rb"(a|b)*a(a|b){14}", b"ab"),
+        (rb"\b(a|b)*a(a|b){10}\b", b"ab "),
+    ):
+        ptB = posnfa_mod.compile_posnfa([rparser.parse(pat)])
+        rngE = np.random.default_rng(3)
+        tb = rngE.choice(np.frombuffer(alpha, np.uint8), size=2048)
+        nB = 2000
+        LB, _IB = jax.device_get(
+            nfaset.l_arrays_device_nfaset(
+                ptB, jax.device_put(jnp.asarray(tb)), jnp.int32(nB),
+                block=32,
+            )
+        )
+        o = orc_mod.OraclePattern(pat)
+        txt = tb[:nB].tobytes()
+        for s in list(range(0, nB + 1, 97)) + [nB - 1, nB]:
+            e, _pid = o.longest_end(txt, s)
+            want = e if e is not None else -1
+            if int(LB[s]) != want:
+                log(f"E2 {pat!r} s={s}: got {int(LB[s])} want {want}")
+                ebad += 1
+        log(f"E2: posnfa vs oracle OK on {pat!r} (Q={ptB.Q}, F={ptB.F})")
+    if ebad:
+        print(json.dumps({"ok": False, "stage": "E", "bad": ebad}))
+        sys.exit(1)
+
     print(json.dumps({
         "ok": True,
         "engine_patterns": len(ENGINE_PATTERNS),
         "conformance_cases": len(picked),
         "elementwise_cases": ccnt,
         "bitmask_cases": 6,
+        "posnfa_cases": 3,
         "platform": dev.platform,
     }))
 
