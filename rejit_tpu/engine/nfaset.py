@@ -277,22 +277,26 @@ def _combine(pt, a, b):
         live = ((bT[r // 32] >> U32(r % 32)) & U32(1)) != 0   # (nb, Q)
         for w in range(W):
             outT[w] = outT[w] | jnp.where(live, aT[w][:, r:r + 1], U32(0))
-    mg = jnp.full(ma.shape, -1, jnp.int32)
-    ig = None if ib is None else jnp.full(ma.shape, -1, jnp.int32)
-    for e in range(Q):
-        bits = _expand([aT[w][:, e] for w in range(W)], Q)    # (Q, nb)!
-        bits = bits.T                                          # (nb, Q)
-        mb_e = mb[:, e:e + 1]
-        if ib is None:
-            better = bits & (mb_e > mg)
-            mg = jnp.where(better, mb_e, mg)
-            continue
-        ib_e = ib[:, e:e + 1]
-        better = bits & (
-            (mb_e > mg) | ((mb_e == mg) & (ib_e < ig))
-        )
-        mg = jnp.where(better, mb_e, mg)
-        ig = jnp.where(better, ib_e, ig)
+    # m-composition per START q: mg[b, q] = max_{e in f_a[q]} mb[b, e]
+    # (min-pid tie-break). Iterating q keeps every op an elementwise
+    # (nb, Q)-over-e expression + one row reduction — no per-e transposes.
+    neg = jnp.full(mb.shape, -1, jnp.int32)
+    mg_cols = []
+    for q in range(Q):
+        live = ((aT[q // 32] >> U32(q % 32)) & U32(1)) != 0   # (nb, Q) e
+        mg_cols.append(jnp.max(jnp.where(live, mb, neg), axis=1))
+    mg = jnp.stack(mg_cols, axis=1)                            # (nb, Q) q
+    if ib is None:
+        ig = None
+    else:
+        big = jnp.full(mb.shape, 1 << 30, jnp.int32)
+        ig_cols = []
+        for q in range(Q):
+            live = ((aT[q // 32] >> U32(q % 32)) & U32(1)) != 0
+            at_max = live & (mb == mg[:, q:q + 1])
+            ig_cols.append(jnp.min(jnp.where(at_max, ib, big), axis=1))
+        ig = jnp.stack(ig_cols, axis=1)
+        ig = jnp.where(mg >= 0, ig, -1)
     later = mg >= 0
     m_out = jnp.where(later, mg, ma)
     i_out = None if ib is None else jnp.where(later, ig, ia)
