@@ -1622,16 +1622,20 @@ class Pattern:
             arr = np.array(triples, dtype=np.int64).reshape(-1, 3)
             return arr[:, 0], arr[:, 1], arr[:, 2]
         if self.engine == "posnfa":
-            # Cross-chunk carry for the position engine is not built yet:
-            # unbounded quantifiers make window chunking inexact
-            # (SURVEY.md §7.2.4), so stream ops materialize the source
-            # and run the in-memory device path.
-            data = self._stream_source(source)
-            s, e, pid = self.match_all_arrays(np.asarray(data))
-            return (
-                np.asarray(s, np.int64),
-                np.asarray(e, np.int64),
-                np.asarray(pid, np.int64),
+            # Exact chunked sweep with the carried suffix element — the
+            # DFA stream's architecture over position SETS
+            # (nfaset.stream_match_all_nfaset). Device positions are
+            # global int32: 2 GiB corpus cap on this engine.
+            from .engine import nfaset
+
+            K = self.config.posnfa_block or (
+                64 if self._posnfa.W == 1 else 128
+            )
+            return nfaset.stream_match_all_nfaset(
+                self._posnfa,
+                self._stream_source(source),
+                chunk_bytes=chunk_bytes,
+                block=K,
             )
         tables = self._dfa_tables()
         if self._use_schain_fused():

@@ -529,3 +529,156 @@ def l_arrays(
         pt, jnp.asarray(text, dtype=jnp.uint8), jnp.int32(n), block=block
     )
     return np.asarray(L)[: n + 1], np.asarray(I)[: n + 1]
+
+
+# ---------------------------------------------------------------------------
+# Exact chunked streaming (corpora larger than one device call)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("pt", "block"))
+def chunk_l_arrays_device_nfaset(
+    pt: PosTables,
+    text: jnp.ndarray,
+    n: jnp.ndarray,
+    offset: jnp.ndarray,
+    ctx_prev0: jnp.ndarray,
+    tail,
+    *,
+    block: int = DEFAULT_BLOCK,
+):
+    """One chunk of the right-to-left streaming sweep.
+
+    `tail` is the suffix element of EVERYTHING after this chunk
+    ((W, Q) packed relation, (Q,) m, (Q,) i or None) — the same algebra
+    the DFA stream carries across chunks (engine/stream.py), so matches
+    crossing any number of chunk boundaries are exact. Returns the
+    chunk's (L, I) for its own boundaries (global positions) plus the
+    composed summary covering this chunk AND its tail, which becomes the
+    next (left) chunk's tail.
+    """
+    st = _static(pt)
+    P = text.shape[0]
+    K = block
+    nb = P // K
+    Q, W = pt.Q, pt.W
+
+    class_arr = jnp.asarray(np.asarray(pt.class_of, np.int32))
+    ctx_arr = jnp.asarray(pt.ctx_table())
+    fidx_arr = jnp.asarray(
+        np.asarray(pt.fidx, np.int32).reshape(4, pt.n_classes)
+    )
+    ti = text.astype(jnp.int32)
+    cls = class_arr[ti]
+    ctx = ctx_arr[ti]
+    ctx_prev = jnp.concatenate([ctx_prev0[None], ctx[:-1]])
+    fx = fidx_arr[ctx_prev, cls]
+    pos = offset + jnp.arange(P, dtype=jnp.int32)
+
+    def kb(a):
+        return a.reshape(nb, K).T
+
+    cls_kb, fx_kb, pos_kb = kb(cls), kb(fx), kb(pos)
+    summaries = _phase1(pt, st, cls_kb, fx_kb, pos_kb, n)
+
+    tf, tm, ti_ = tail
+    tail_el = (
+        [tf[w][None, :] for w in range(W)],
+        tm[None, :],
+        None if ti_ is None else ti_[None, :],
+    )
+    suf = _suffix_scan(pt, summaries, tail_el)
+    L, I = _phase3(pt, st, suf, cls_kb, fx_kb, pos_kb, n)
+
+    # Composed summary of (this chunk + tail) = combine(block 0's own
+    # element, the exclusive suffix after block 0).
+    fT, m1, i1 = summaries
+    elem0 = (
+        [fT[w][:1] for w in range(W)], m1[:1],
+        None if i1 is None else i1[:1],
+    )
+    sufT, sufm, sufi = suf
+    suf0 = (
+        [sufT[w][:1] for w in range(W)], sufm[:1],
+        None if sufi is None else sufi[:1],
+    )
+    nf, nm, ni = _combine(pt, elem0, suf0)
+    new_tail = (
+        jnp.stack([nf[w][0] for w in range(W)]),
+        nm[0],
+        None if ni is None else ni[0],
+    )
+
+    bidx = offset + jnp.arange(P, dtype=jnp.int32)
+    L = jnp.where(bidx <= n, L, -1)
+    if I is None:
+        I = jnp.where(L >= 0, 0, -1)
+    else:
+        I = jnp.where(bidx <= n, I, -1)
+    return L, I, new_tail
+
+
+def eot_tail_arrays(pt: PosTables, last_byte, n):
+    """Initial (rightmost) tail: identity relation + EOT acceptance.
+    `last_byte`: int32 scalar (value of byte n-1; ignored when n == 0)."""
+    st = _static(pt)
+    ctx_arr = jnp.asarray(pt.ctx_table())
+    ctx_last = jnp.where(n > 0, ctx_arr[last_byte], 0)
+    fT, m_t, i_t = _eot_tail(pt, st, ctx_last, n)
+    return (
+        jnp.stack([fT[w][0] for w in range(pt.W)]),
+        m_t[0],
+        None if i_t is None else i_t[0],
+    )
+
+
+def stream_match_all_nfaset(
+    pt: PosTables,
+    data: np.ndarray,
+    *,
+    chunk_bytes: int = 8 << 20,
+    block: int = DEFAULT_BLOCK,
+):
+    """Exact chunked MatchAll on the position engine: chunks scanned from
+    the corpus END backward with the carried suffix element (the DFA
+    stream's architecture, engine/stream.py). Device positions are global
+    int32, so the corpus is capped at 2 GiB (the DFA stream has no such
+    cap; posnfa streaming trades that for the set-valued carry).
+
+    Returns (starts, ends, pids) int64 arrays after leftmost-longest
+    non-overlap selection over the sparse candidate list.
+    """
+    from . import select
+
+    n = len(data)
+    if n >= (1 << 31):
+        raise ValueError("posnfa streaming caps corpora at 2 GiB")
+    K = block
+    cb = max(K, chunk_bytes // K * K)
+    starts = list(range(0, max(n, 1), cb))
+    tail = eot_tail_arrays(
+        pt, jnp.int32(int(data[n - 1]) if n else 0), jnp.int32(n)
+    )
+    out = []
+    for s in reversed(starts):
+        chunk = np.asarray(data[s : s + cb])
+        P = -(-max(len(chunk), 1) // K) * K
+        if s + cb >= n and P <= (n - s):
+            P += K  # the last chunk must hold boundary n strictly inside
+        pad = np.zeros(P, np.uint8)
+        pad[: len(chunk)] = chunk
+        ctx0 = jnp.int32(0 if s == 0 else int(
+            np.asarray(pt.ctx_table())[int(data[s - 1])]
+        ))
+        L, I, tail = chunk_l_arrays_device_nfaset(
+            pt, jnp.asarray(pad), jnp.int32(n), jnp.int32(s), ctx0, tail,
+            block=K,
+        )
+        Lh = np.asarray(L)
+        Ih = np.asarray(I)
+        p_ = np.flatnonzero(Lh >= 0)
+        out.append((s + p_, Lh[p_], Ih[p_]))
+    pos = np.concatenate([a for a, _b, _c in reversed(out)]).astype(np.int64)
+    ends = np.concatenate([b for _a, b, _c in reversed(out)]).astype(np.int64)
+    pids = np.concatenate([c for _a, _b, c in reversed(out)]).astype(np.int64)
+    return select.match_all_candidates(pos, ends, pids)

@@ -119,6 +119,30 @@ def test_posnfa_replace_and_split():
     ]
 
 
+def test_posnfa_chunked_streaming_exact():
+    """Streaming on the position engine carries the suffix element across
+    chunks (engine/nfaset.stream_match_all_nfaset): tiny chunks with
+    greedy matches crossing every boundary must be exact."""
+    pat = r"(a|b)*a(a|b){9}"
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        p = Pattern(pat, Config(max_dfa_states=64, posnfa_block=32))
+    assert p.engine == "posnfa"
+    rng = np.random.default_rng(9)
+    t = bytes(rng.choice(list(b"aabbx"), size=5000).astype(np.uint8))
+    want = OraclePattern(pat).match_all_ids(t)
+    for cb in (256, 999_999):
+        s, e, i = p.match_all_stream(t, chunk_bytes=cb)
+        assert list(zip(s.tolist(), e.tolist(), i.tolist())) == want, cb
+    pats = [r"(a|b)*a(a|b){8}", r"x+"]
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        p2 = Pattern(pats, Config(max_dfa_states=64, posnfa_block=32))
+    s3, e3, i3 = p2.match_all_stream(t, chunk_bytes=512)
+    want2 = OraclePattern([x.encode() for x in pats]).match_all_ids(t)
+    assert list(zip(s3.tolist(), e3.tolist(), i3.tolist())) == want2
+
+
 def test_posnfa_fuzz_differential():
     """Random ab-soup differential sweep on the flagship blowup pattern —
     every boundary's L value must agree with the oracle (spans + ids)."""
