@@ -843,11 +843,19 @@ class Pattern:
 
     def _bitmask_ok(self) -> bool:
         """Does this pattern route through the bitpacked literal spans
-        program (kernels/literal.literal_mask_packed_device)?"""
+        program (kernels/literal.literal_mask_packed_device)?
+
+        Capped at 8 literals: the peel's win is sparse candidates packed
+        32/word; a MANY-literal set (e.g. regexdna's 11 IUB classes) is
+        typically dense, where the peel re-runs at growing caps and the
+        fused 2k-compare+peel program stresses the TPU compile service
+        (observed round 5: the 11-class IUB program hung/OOMed remote
+        compiles that the plain L/I claim chain sails through)."""
         return (
             self.engine == "literal"
             and self.info.overlap_free
             and self.config.bitmask != "off"
+            and len(self.info.literals) <= 8
         )
 
     def _bitmask_words(self, t: np.ndarray, corpus, row_w: int = 32):

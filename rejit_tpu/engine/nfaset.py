@@ -80,11 +80,14 @@ def _static(pt: PosTables):
         for j, fs in pred[jp].items():
             key = all_f if len(fs) == F else frozenset(fs)
             by_group.setdefault(key, [[] for _ in range(Q)])[jp].append(j)
+    # Matrices cover Q+1 output rows: row Q is a PERSISTENT zero pad row
+    # (self-mapping, never admitted by any class), so the per-step
+    # transition needs no concat-with-zero copy of the state.
     pred_groups = []
     for key in sorted(by_group, key=sorted):
         lists = by_group[key]
         D = max((len(x) for x in lists), default=0)
-        mat = np.full((max(D, 1), Q), Q, dtype=np.int32)
+        mat = np.full((max(D, 1), Q + 1), Q, dtype=np.int32)
         for jp in range(Q):
             for k, j in enumerate(sorted(lists[jp])):
                 mat[k, jp] = j
@@ -106,8 +109,8 @@ def _static(pt: PosTables):
         for p in range(n_pat)
     ]
 
-    # (C, Q) bool: class c admits position j.
-    admit_bool = np.zeros((pt.n_classes, Q), dtype=bool)
+    # (C, Q+1) bool: class c admits position j (pad row Q: never).
+    admit_bool = np.zeros((pt.n_classes, Q + 1), dtype=bool)
     for c in range(pt.n_classes):
         for jp in range(Q):
             if (pt.bmask[c][jp // 32] >> (jp % 32)) & 1:
@@ -202,9 +205,7 @@ def _step(pt, st, cols, m, i, cls_s, fx, valid, pos, R):
     valid_row = valid[None, :]
     new_cols = []
     for oc in range(n_occ):
-        ext = jnp.concatenate(
-            [cols[oc], jnp.zeros((1, nb), dtype=U32)]
-        )
+        ext = cols[oc]                       # (Q+1, nb), row Q always 0
         t = None
         for fs, mat in pred_groups:
             g_acc = None
@@ -232,12 +233,12 @@ def _phase1(pt, st, cls_kb, fx_kb, pos_kb, n):
 
     init_cols = []
     for w in range(W):
-        rows = np.zeros((Q, 1), dtype=np.uint32)
+        rows = np.zeros((Q + 1, 1), dtype=np.uint32)
         for j in range(Q):
             if j // 32 == w:
                 rows[j, 0] = np.uint32(1 << (j % 32))
         init_cols.append(
-            jnp.broadcast_to(jnp.asarray(rows), (Q, nb)).astype(U32)
+            jnp.broadcast_to(jnp.asarray(rows), (Q + 1, nb)).astype(U32)
         )
     m0 = jnp.full((Q, nb), -1, jnp.int32)
     i0 = None if pt.n_patterns == 1 else m0
@@ -256,8 +257,9 @@ def _phase1(pt, st, cls_kb, fx_kb, pos_kb, n):
         body, (tuple(init_cols), m0, i0),
         (cls_kb, fx_kb, pos_kb),
     )
-    # Transposed relation: fT[w][b, e] = start-bits (word w) reaching e.
-    fT = [c.T for c in cols]
+    # Transposed relation: fT[w][b, e] = start-bits (word w) reaching e
+    # (pad row Q dropped).
+    fT = [c[:Q].T for c in cols]
     return fT, m.T, None if i is None else i.T
 
 
@@ -399,7 +401,7 @@ def _phase3(pt, st, suf, cls_kb, fx_kb, pos_kb, n):
     n_occ = K // 32
 
     init_cols = tuple(
-        jnp.zeros((Q, nb), dtype=U32) for _ in range(n_occ)
+        jnp.zeros((Q + 1, nb), dtype=U32) for _ in range(n_occ)
     )
     m0 = jnp.full((K, nb), -1, jnp.int32)
 
