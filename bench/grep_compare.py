@@ -35,11 +35,17 @@ PATTERNS = [
 ]
 
 
-def wall(cmd, env=None):
+def wall(cmd, env=None, timeout=600):
+    """One timed run, or (None, None) on a tunnel-hang timeout (the
+    shared TPU frontend hangs for minutes at a time — CLAUDE.md; a hung
+    window is a missed measurement, not a result)."""
     t0 = time.perf_counter()
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, timeout=1800
-    )
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, timeout=timeout
+        )
+    except subprocess.TimeoutExpired:
+        return None, None
     dt = time.perf_counter() - t0
     return dt, out
 
@@ -67,22 +73,33 @@ def main():
     for label, mode, gpat, jpat in PATTERNS:
         # grep -c counts LINES; jrep --count-matches counts matches.
         # Compare like with like: grep -o | wc -l counts matches.
-        g_best = None
+        g_best = cnt_g = None
         for _ in range(args.runs):
             dt, out = wall(["grep", mode, "-o", gpat, path])
+            if dt is None:
+                continue
             cnt_g = out.stdout.count("\n")
             g_best = dt if g_best is None else min(g_best, dt)
-        j_best = None
-        for _ in range(args.runs):
+        j_best = cnt_j = None
+        attempts = 0
+        while attempts < args.runs + 3 and (
+            j_best is None or attempts < args.runs
+        ):
+            attempts += 1
             dt, out = wall(
                 [sys.executable, os.path.join(repo, "tools", "jrep.py"),
                  "--count-matches", jpat, path],
             )
+            if dt is None:
+                print(f"{label}: jrep run hung (tunnel window), retrying",
+                      file=sys.stderr, flush=True)
+                continue
             if out.returncode not in (0, 1):
                 print(out.stderr[-2000:], file=sys.stderr)
                 raise SystemExit(f"jrep failed on {label}")
             cnt_j = int(out.stdout.strip())
             j_best = dt if j_best is None else min(j_best, dt)
+        assert j_best is not None and g_best is not None, label
         assert cnt_g == cnt_j, (label, cnt_g, cnt_j)
         row = {
             "label": label,

@@ -436,7 +436,7 @@ def run_configs(size_mb: float, which, engines="all"):
         ptb = posnfa_mod.compile_posnfa(
             [rparser3.parse(rb"(a|b)*a(a|b){14}")]
         )
-        Kb = 32
+        Kb = 64          # the K-sweep optimum for one packed word
         Pb = -(-n // Kb) * Kb
         padb = np.zeros(Pb, np.uint8)
         padb[:n] = tb
