@@ -1195,6 +1195,21 @@ class Pattern:
         m_ = self._resolve_mesh(mesh)
         if m_ is not None:
             return self._sharded_arrays(t, m_)
+        if (
+            self.engine == "posnfa"
+            and len(t) > self.config.posnfa_chunk_bytes
+        ):
+            # Past ~2 MB the scan-carry working set falls out of VMEM
+            # and the single-call rate drops ~3x (bench/NOTES.md round
+            # 5); the exact chunked sweep keeps each chunk in the fast
+            # regime and carries the suffix element across chunks.
+            with Timer() as t_all:
+                out = self.match_all_stream(
+                    t, chunk_bytes=self.config.posnfa_chunk_bytes
+                )
+            self._record("match_all", len(t), len(out[0]), t_all.elapsed,
+                         t_all.elapsed)
+            return out
         if self._oracle:
             self._oracle_guard(len(t))
             with Timer() as t_all:

@@ -78,6 +78,12 @@ class Config:
     # measured sweep in bench/NOTES.md round 5).
     posnfa_block: Optional[int] = None
 
+    # Single-call size cap for the posnfa engine: larger texts run the
+    # exact chunked sweep at this chunk size (past ~2 MB the scan-carry
+    # working set leaves VMEM and the single-call rate drops ~3x —
+    # bench/NOTES.md round 5).
+    posnfa_chunk_bytes: int = 2 << 20
+
     # Persist compiled DFA tables to ~/.cache/rejit_tpu (SURVEY.md §5.4).
     disk_cache: bool = False
 
